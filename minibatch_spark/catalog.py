@@ -1,0 +1,79 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference keeps a ``Stream`` registry collection (minibatch/models.py:
+157-179) as its only catalog; here the relational layer needs named-table
+access to the TPC-H-ish corpus (TESTDATA.md). Reads go through
+``spark.read.parquet`` so Catalyst gets DSv2 pushdown (PushedFilters,
+column pruning) for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The driver-generated parquet stores TIMESTAMP(NANOS), which Spark's parquet
+# reader rejects (PARQUET_TYPE_ILLEGAL). With nanosAsLong those columns
+# surface as int64 nanoseconds; we convert to TimestampType (µs, truncating —
+# the same truncation DuckDB applies reading NANOS into its µs TIMESTAMP).
+TIMESTAMP_NS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain reader call — no caching, no collect — so every
+    downstream filter/projection is pushed into the parquet scan (the ns->µs
+    timestamp cast is a projection on top; pruning still reaches the scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in TIMESTAMP_NS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, LongType):
+            # integer `div`, not `/`: ns-since-epoch (~1.7e18) overflows the
+            # 53-bit double mantissa that float division would route through
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+class Catalog:
+    """Lazy dict-like access: ``cat.lineitem`` / ``cat['orders']``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql access."""
+        for name in TABLES:
+            self[name].createOrReplaceTempView(name)

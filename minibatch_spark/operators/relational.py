@@ -1,0 +1,733 @@
+"""Relational operator surface: scans, filters, joins, aggregations, SQL
+window functions, set ops, scalar functions.
+
+The reference has NONE of these as engine operators — "count, filter, map,
+groupby, merge, join" are explicitly future work (reference README.rst:
+315-322; SURVEY.md §2.3-2.9) — so this module IS the capability gap the
+Spark engine fills. Everything is expressed with the DataFrame API so
+Catalyst owns pushdown/pruning/join selection and AQE owns runtime
+re-planning; there are no collects, no Python row loops, no RDDs.
+
+Determinism contract with the DuckDB oracle (driver CORRECTNESS gate):
+- money/qty arithmetic is done in DECIMAL (exact in both engines, no
+  float summation-order divergence) and cast to DOUBLE only at the end;
+- every computed column is aliased identically in Spark and oracle SQL;
+- all top-k orderings carry a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minibatch_spark.catalog import load_table
+from minibatch_spark.registry import query
+
+DEC_MONEY = "decimal(12,2)"
+DEC_RATE = "decimal(7,4)"
+
+
+def dmoney(c: str) -> Column:
+    return F.col(c).cast(DEC_MONEY)
+
+
+def drate(c: str) -> Column:
+    return F.col(c).cast(DEC_RATE)
+
+
+def dsum(e: Column) -> Column:
+    """Exact decimal sum surfaced as double, bit-identical across engines.
+
+    The intermediate DECIMAL(20,6) cast matters twice over:
+    - casting a high-declared-scale decimal (e.g. scale-10 sum of
+      price*(1-disc)*(1+tax)) straight to double double-rounds in DuckDB
+      (int128 / 10^10 via float division) and can differ from Spark's
+      correctly-rounded BigDecimal.doubleValue by 1 ulp;
+    - scale 6 is chosen because every money product here (2dp x 2dp x 2dp)
+      is EXACT at scale 6 — the cast never rounds, so there are no
+      half-way ties for the engines to break differently (Spark HALF_UP
+      vs DuckDB's cast rounding), and the scale-6 scaled integer stays
+      within double's 53-bit mantissa for sums up to ~9e9."""
+    return F.sum(e).cast("decimal(20,6)").cast("double")
+
+
+def _ts(s: str) -> Column:
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 — ABSENT in reference, README.rst:321)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(7,4)))
+               * (1 + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Scan -> pushed filter -> partial+final
+    hash agg; one shuffle on the (tiny-cardinality) group keys. At 100 TB the
+    map-side partial aggregation reduces the shuffle to ~#groups x #tasks rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
+    charge = disc_price * (F.lit(1) + drate("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dmoney("l_quantity")).alias("sum_qty"),
+            dsum(dmoney("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(dmoney("l_quantity")) / n).alias("avg_qty"),
+            (dsum(dmoney("l_extendedprice")) / n).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_events",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) / COUNT(value) AS avg_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      ROUND(STDDEV_SAMP(value), 6) AS stddev_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full descriptive-stats aggregate (count/sum/avg/min/max/stddev)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(dmoney("value")).alias("sum_value"),
+        (dsum(dmoney("value")) / F.count("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+    )
+
+
+@query(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: Catalyst expands to a two-stage (expand +
+    re-aggregate) plan; exact, unlike approx_count_distinct (provided
+    separately as a non-oracle op)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (status -> status+priority -> grand)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dmoney("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dmoney("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4 — ABSENT in reference, README.rst:321)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      o.o_orderdate,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> fact join -> agg -> top-k.
+
+    customer is broadcast (small after segment filter); lineitem never
+    shuffles for the join. The final ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject — no global sort of the aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1997-06-30"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1997-06-30"))
+    revenue = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-table join. All dims (region/nation/supplier/
+    customer) broadcast; the only shuffles are fact-fact (orders-lineitem,
+    key-partitioned) and the final tiny agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(20,6)) AS DOUBLE) AS sum_total
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dmoney("o_totalprice")), F.lit(0).cast(DEC_MONEY))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the engine-native EXISTS. No row multiplication,
+    right side reduced to its join key before the probe."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — engine-native NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer_nations",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.3 — reference has only kwarg predicates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45
+      AND l_discount > 0.05
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate + narrow projection. All three predicates reach
+    the parquet scan (PushedFilters) and only 4 of 11 columns are read
+    (ReadSchema) — verified in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") >= 45)
+        & (F.col("l_discount") > 0.05)
+        & F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-01-01"))
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# SQL window functions (SURVEY §2.6 — ABSENT in reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via ROW_NUMBER. Catalyst inserts a WindowGroupLimit
+    (rank-limit pushdown) so each partition keeps only 3 rows pre-shuffle."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,6)) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user — exact decimal accumulation so the
+    per-row prefix sums are engine-independent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dmoney("value")).over(w).cast("decimal(20,6)").cast("double")
+        .alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+    FROM events
+    """,
+)
+def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: inter-event gap per user in milliseconds (NULL for first event)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS span_ms
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative flag sum —
+    the batch analog of session_window, one shuffle on user_id reused by
+    both window specs and the final agg."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    is_new = F.when(gap_ms.isNull() | (gap_ms > 1800000), 1).otherwise(0)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(is_new).over(wcum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("span_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition
+    heap of k, merge on driver) — no global sort even at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8 — ABSENT in reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+    """,
+)
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == SQL EXCEPT (set semantics): drop a's rows present in b at
+    # all, then distinct — not exceptAll's multiset difference
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.9 — ABSENT in reference; all JVM-side here)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, 'a', '@', 'g') AS name_at,
+           CONCAT(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/length/substring/regexp/concat —
+    all whole-stage-codegen JVM expressions, no UDFs."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "a", "@").alias("name_at"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "scalar_date_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           date_trunc('month', o_orderdate) AS order_month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: extract/trunc/diff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_y2k"),
+    )
+
+
+@query(
+    "case_when_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (CASE WHEN) feeding an aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dmoney("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (reference only has edge
+    json.loads/dumps in connectors — kafka.py:26,38,81)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )

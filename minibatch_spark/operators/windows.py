@@ -1,0 +1,165 @@
+"""Batch analogs of the reference's mini-batch windowing strategies
+(SURVEY.md §2.10; reference minibatch/window.py:229-327) expressed
+relationally, so the driver's DuckDB oracle can verify the *semantics*:
+
+- CountWindow  (window.py:305-327): exactly-size batches in arrival order
+  -> row_number over (ts, event_id) div size.
+- FixedTimeWindow (window.py:229-278): tumbling event-time windows
+  -> date_trunc / epoch-floor bucketing.
+- sliding windows (ABSENT in reference — README.rst:318 future work)
+  -> each event in len/slide overlapping buckets.
+- session windows (ABSENT) -> see relational.sessionize_events and the
+  streaming layer's session_window.
+
+The *streaming* implementations live in minibatch_spark/streaming/; these
+batch forms pin down the window-membership math shared by both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minibatch_spark.catalog import load_table
+from minibatch_spark.operators.relational import dmoney, dsum
+from minibatch_spark.registry import query
+
+
+@query(
+    "count_window_batches",
+    oracle="""
+    WITH numbered AS (
+      SELECT value, event_id,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT CAST((rn - 1) // 10 AS BIGINT) AS batch_id,
+           COUNT(*) AS batch_size,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM numbered
+    GROUP BY 1
+    """,
+)
+def count_window_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountWindow(size=10) semantics on a bounded stream: consecutive
+    arrival-ordered batches of exactly 10 (last may be partial) — the
+    invariant pinned by reference tests/test_minibatch.py:48-87."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        e.select(
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy(((F.col("rn") - 1) / 10).cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            dsum(dmoney("value")).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+@query(
+    "tumbling_window_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedTimeWindow(interval=3600) batch analog: tumbling 1-hour windows.
+    (The streaming form uses window('ts', '1 hour') + watermark; hour
+    date_trunc is the identical bucketing.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(dmoney("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    SELECT epoch_ms(((epoch_ms(e.ts) // 1000 // 1800) - off.o) * 1800000)
+             AS window_start,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
+    FROM events e, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS off(o)
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) — ABSENT in the reference
+    (README.rst:318 'sliding windows' is future work). Spark's window()
+    assigns each event to len/slide = 2 overlapping epoch-aligned buckets;
+    the oracle replays the same bucket arithmetic with epoch math."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dmoney("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_window_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-min gap) via Spark's native session_window —
+    ABSENT in the reference. The oracle derives identical sessions with
+    lag + cumulative-flag SQL. Deterministic because (user_id, ts) is
+    unique in the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dmoney("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
