@@ -1,0 +1,20 @@
+from minibatch_spark.streaming.api import (  # noqa: F401
+    connectdb,
+    make_emitter,
+    stream,
+    streaming,
+)
+from minibatch_spark.streaming.models import Batcher, Stream  # noqa: F401
+from minibatch_spark.streaming.sinks import (  # noqa: F401
+    CallableSink,
+    MemorySink,
+    ParquetSink,
+    StreamSink,
+)
+from minibatch_spark.streaming.window import (  # noqa: F401
+    CountWindow,
+    FixedTimeWindow,
+    RelaxedTimeWindow,
+    Window,
+    WindowEmitter,
+)

@@ -1,0 +1,113 @@
+"""Public streaming API — reference-parity surface.
+
+Reference: ``minibatch/__init__.py``:
+- ``streaming(name, ...)`` decorator (:15-75)
+- ``stream(name, ...)`` producer handle (:78-82)
+- ``make_emitter(...)`` rule-based dispatch (:89-120):
+  emitter= -> that class; interval= -> RelaxedTimeWindow unless
+  relaxed=False -> FixedTimeWindow; size= -> CountWindow; default size=1.
+- ``connectdb`` (:157-194) -> here: choose the base directory (the
+  filesystem IS the broker) and optionally a shared SparkSession.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from minibatch_spark.streaming.models import DEFAULT_BASE_DIR, Stream
+from minibatch_spark.streaming.window import (
+    CountWindow,
+    FixedTimeWindow,
+    RelaxedTimeWindow,
+    WindowEmitter,
+)
+
+_default_base_dir = DEFAULT_BASE_DIR
+
+
+def connectdb(url: Optional[str] = None, base_dir: Optional[str] = None) -> str:
+    """Set the engine's stream storage root (reference connectdb sets the
+    MongoDB alias, minibatch/__init__.py:157-177). ``url`` accepts
+    ``file:///path`` for API familiarity."""
+    global _default_base_dir
+    if base_dir:
+        _default_base_dir = base_dir
+    elif url and url.startswith("file://"):
+        _default_base_dir = url[len("file://") :]
+    return _default_base_dir
+
+
+def stream(name: str, url: Optional[str] = None, base_dir: Optional[str] = None,
+           **kwargs) -> Stream:
+    """Producer handle (reference minibatch/__init__.py:78-82)."""
+    if url and url.startswith("file://"):
+        base_dir = url[len("file://") :]
+    return Stream.get_or_create(name, base_dir=base_dir or _default_base_dir, **kwargs)
+
+
+def make_emitter(
+    name: str,
+    emitfn: Optional[Callable] = None,
+    interval: Optional[float] = None,
+    size: Optional[int] = None,
+    emitter: Optional[type] = None,
+    relaxed: bool = True,
+    keep: bool = False,
+    emit_empty: bool = False,
+    sink=None,
+    source=None,
+    base_dir: Optional[str] = None,
+    as_dataframe: bool = False,
+    stream_obj: Optional[Stream] = None,
+    **emitter_kwargs,
+) -> WindowEmitter:
+    """Reference dispatch table (minibatch/__init__.py:89-120), verbatim
+    semantics on Spark strategies."""
+    s = stream_obj or Stream.get_or_create(name, base_dir=base_dir or _default_base_dir)
+    forwardfn = sink.put if sink is not None else None
+    common = dict(
+        emitfn=emitfn,
+        forwardfn=forwardfn,
+        keep=keep,
+        emit_empty=emit_empty,
+        as_dataframe=as_dataframe,
+    )
+    if emitter is not None:
+        em = emitter(s, **common, **emitter_kwargs)
+    elif interval is not None and relaxed:
+        em = RelaxedTimeWindow(s, interval=interval, **common)
+    elif interval is not None:
+        em = FixedTimeWindow(s, interval=interval, **common)
+    else:
+        em = CountWindow(s, size=size or 1, **common)
+    if source is not None:
+        s.attach(source, background=True)
+    return em
+
+
+def streaming(
+    name: str,
+    spark=None,
+    blocking: bool = True,
+    available_now: bool = False,
+    **kwargs,
+):
+    """Decorator (reference minibatch/__init__.py:15-75):
+
+        @streaming('sensor', size=2, keep=True, spark=spark)
+        def process(window):
+            ...  # window.data == list of message dicts
+
+    blocking=True runs the consumer in the caller's thread (reference
+    behavior); available_now=True drains what's buffered and returns —
+    the test-friendly mode replacing the reference's sleep loops.
+    Returns the emitter (decorating replaces the fn — same as reference).
+    """
+
+    def deco(fn):
+        em = make_emitter(name, emitfn=fn, **kwargs)
+        if spark is not None:
+            em.run(spark, blocking=blocking, available_now=available_now)
+        return em
+
+    return deco
