@@ -10,6 +10,7 @@ column pruning) for free.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,6 +57,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # 53-bit double mantissa that float division would route through
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+SCRATCH_DIR = os.environ.get(
+    "MINIBATCH_SPARK_SCRATCH", os.path.join("/tmp", "minibatch_spark", "scratch")
+)
+
+
+def stage(df: DataFrame, name: str) -> DataFrame:
+    """Durable stage boundary: write ``df`` to scratch parquet, read it back.
+
+    Replaces ``localCheckpoint`` (executor-memory/disk blocks that are lost
+    on executor failure) with real storage both sides of a self-join can
+    re-read — the "write signatures, then join" stage split a 100 TB
+    pipeline performs anyway. The write runs once at plan-construction
+    time; every downstream consumer scans the materialized parquet instead
+    of recomputing the upstream plan.
+    """
+    path = os.path.join(SCRATCH_DIR, f"{name}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 class Catalog:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import load_table
+from minibatch_spark.catalog import load_table, stage
 from minibatch_spark.registry import query
 
 N_MINHASH = 16  # permutations
@@ -182,8 +182,11 @@ def _perm(i: int):
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
-    """One xxhash64 (JVM codegen) per shingle, reduced mod 2^31-1."""
-    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+    """One md5-60bit hash per shingle, reduced mod 2^31-1. One digest per
+    shingle (the 16 permutations are integer multiply-adds on top, not 16
+    more digests) and engine-independent, so DuckDB reproduces the full
+    signature. Swap in xxhash64 for a faster non-oracle-checked variant."""
+    return F.transform(shingle_col, lambda s: F.pmod(h64(s), F.lit(_MINHASH_P)))
 
 
 def fast_minhash_sig(hash_col: Column, n: int = N_MINHASH) -> Column:
@@ -194,31 +197,102 @@ def fast_minhash_sig(hash_col: Column, n: int = N_MINHASH) -> Column:
     return F.array(*[F.array_min(F.transform(hash_col, _perm(i))) for i in range(n)])
 
 
-@query("dedup_minhash_pairs")  # LSH banding + verify: not ANSI-SQL friendly -> rows-only
+_SHINGLE_SQL = """
+      unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+        i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+             regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+             regexp_split_to_array(trim(text), '\\s+')[i+2])))
+"""
+
+
+def _minhash_pairs_oracle() -> str:
+    """DuckDB replay of the full pipeline: exact-dup collapse -> shingle
+    md5-60bit hashes mod p -> 16 multiply-add permutations -> 4-band keys ->
+    bucket self-join -> signature-agreement estimate >= 0.5."""
+    mins = ",\n        ".join(
+        f"MIN((h * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_PERM_PARAMS)
+    )
+    band_cases = "\n             ".join(
+        "WHEN {b} THEN {k}".format(
+            b=b,
+            k=" || ',' || ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4)),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+      FROM documents GROUP BY md5(text)
+    ), sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM reps
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    ), hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+        {mins}
+      FROM hs GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band_id,
+             md5(CASE b.band_id
+             {band_cases}
+             END) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, ({matches}) / 16.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE ({matches}) / 16.0 >= 0.5
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_pairs_oracle())
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding.
 
-    sig (16 mins) -> 4 bands of 4 -> md5 band key -> self-join per bucket ->
-    estimated Jaccard = fraction of matching signature components >= 0.5.
-    The bucket join is the scale path: candidate generation cost is
-    O(rows x bands) shuffle, pairs only materialize within buckets.
-    Verified against exact n-gram Jaccard in tests/test_dedup.py.
+    Pipeline: collapse exact duplicates (min doc_id per md5(text) group —
+    at scale this prevents the O(b^2) within-bucket blowup when thousands
+    of byte-identical docs land in one LSH bucket), then sig (16
+    universal-hash mins over one md5-60bit digest per shingle) -> 4 bands
+    of 4 -> md5 band key -> self-join per bucket -> estimated Jaccard =
+    fraction of matching signature components >= 0.5. Candidate generation
+    cost is O(rows x bands) shuffle; pairs only materialize within buckets.
+    Fully hash-checked: the DuckDB oracle replays every md5/permutation
+    bit-for-bit; candidate recall vs exact n-gram Jaccard is additionally
+    pinned in tests/test_dedup.py.
+
+    The staged signature table is durable parquet (catalog.stage), not
+    localCheckpoint — executor loss at cluster scale cannot drop blocks of
+    the self-join's build side.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Staged pipeline (text -> shingles -> hashes -> signature), then a
-    # localCheckpoint barrier: both sides of the self-join (and every band
-    # struct) read the materialized 1-row-per-doc signature table instead of
-    # recomputing from raw text. At 100 TB this is the natural "write
-    # signatures, then join" stage split.
-    sh_df = d.select("doc_id", shingles("text").alias("sh"))
+    reps = d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    base = reps.filter(F.size(tokens("text")) >= 3)
+    sh_df = base.select("doc_id", shingles("text").alias("sh"))
     h_df = sh_df.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
-    sig_df = h_df.select(
-        "doc_id", fast_minhash_sig(F.col("hs")).alias("sig")
-    ).localCheckpoint(eager=False)
+    sig_df = stage(
+        h_df.select("doc_id", fast_minhash_sig(F.col("hs")).alias("sig")),
+        "minhash-sig",
+    )
 
     bands = sig_df.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -234,7 +308,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
     left = bands.alias("a")
     right = bands.alias("b")
@@ -248,11 +322,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -263,7 +337,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(N_MINHASH)
     )
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
@@ -296,42 +372,99 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
-    self-join on shingles: explode -> join on shingle -> count intersections
-    -> Jaccard from |A|+|B|-|A∩B|. Pairs only materialize for docs sharing
-    >=1 shingle; at scale this is the verify stage downstream of LSH
-    blocking (dedup_minhash_pairs), never run unblocked on 100 TB."""
+    """Exact 3-gram Jaccard near-dup pairs (threshold t=0.8) via PREFIX
+    FILTERING (Bayardo et al. All-Pairs / PPJoin candidate condition):
+
+    1. stage each doc's distinct shingle set (1 row per doc, durable);
+    2. global shingle order = (document frequency asc, shingle) — rarest
+       first;
+    3. each doc exposes only its first |A| - ceil(t*|A|) + 1 shingles
+       (~0.2*|A|) to the inverted-index self-join. EXACT: any pair with
+       jaccard >= t has |A∩B| >= ceil(t*|A|), so its globally-smallest
+       common shingle provably lands in BOTH prefixes;
+    4. verify candidates with array_intersect on the staged shingle sets.
+
+    This kills the hot-shingle quadratic blowup of the naive inverted-index
+    join ("of the and" never enters a prefix unless it is among a doc's
+    rarest 20%) while returning the identical result set — the oracle is
+    the naive all-pairs SQL and still hash-matches."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles("text")).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sh_arr = stage(
+        d.select("doc_id", shingles("text").alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") > 0),
+        "ngram-sh",
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    posting = sh_arr.select("doc_id", "n", F.explode("sh").alias("sh1"))
+    df_counts = posting.groupBy("sh1").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posting.join(df_counts, "sh1")
+    # prefix length: n - ceil(0.8*n) + 1, in pure integer math
+    # (ceil(4n/5) == (4n+4) div 5 — float 0.8*n would mis-round at n%5==0)
+    prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+    w = Window.partitionBy("doc_id").orderBy("df", "sh1")
+    prefix = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "sh1")
     )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh1") == F.col("b.sh1")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    sb = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
-@query("dedup_simhash")  # bit-twiddling UDF-free simhash; python oracle in tests
+def _simhash_oracle() -> str:
+    """DuckDB replay of the 60-bit simhash: same md5-60bit token hash, same
+    per-bit majority votes, same packing."""
+    votes = ",\n        ".join(f"SUM((h >> {i}) & 1) AS v{i}" for i in range(60))
+    packed = "\n         + ".join(
+        f"(CASE WHEN v{i} * 2 > n THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+        {votes}
+      FROM hs GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({packed} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, JVM-side only: token -> h64 hash ->
     per-bit +1/-1 vote -> sign vector -> packed bigint. Near-dup candidates
     are docs whose simhash Hamming distance <= 3 (checked in tests; the
     packed value itself is the query output here).
 
-    Deterministic but not ANSI-SQL-expressible (64 per-bit popcount votes);
-    verified against a pure-Python oracle in tests/test_dedup.py.
+    Fully hash-checked: the md5-derived bit votes are pure SQL, so the
+    DuckDB oracle replays all 60 per-bit majority votes; Hamming-distance
+    semantics are additionally pinned in tests/test_dedup.py.
     """
     d = load_table(spark, sf_dir, "documents")
     # explode -> hash once per (doc, token) -> 60 codegen'd SUM aggregates.

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -57,7 +57,7 @@ _DECODE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -68,11 +68,14 @@ def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
 
         from PIL import Image  # not available in this container
         raise NotImplementedError("real decode requires PIL/libvips")
+
+    Features are byte/255.0 in full double precision (no rounding) so the
+    DuckDB oracle reproduces every value bit-for-bit from md5 hex.
     """
     h = hashlib.md5(blob).digest()
     width = 32 + h[0] % 224
     height = 32 + h[1] % 224
-    feats = [round(b / 255.0, 6) for b in h[2 : 2 + FEATURE_DIM]]
+    feats = [b / 255.0 for b in h[2 : 2 + FEATURE_DIM]]
     return width, height, feats
 
 
@@ -101,12 +104,35 @@ def decode_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, blob_col).mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
-@query("multimodal_decode_stub")  # Pandas-UDF pipeline; not SQL-expressible
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(32 + CAST(('0x' || substring(hx, 1, 2)) AS INTEGER) % 224
+                AS INTEGER) AS width,
+           CAST(32 + CAST(('0x' || substring(hx, 3, 2)) AS INTEGER) % 224
+                AS INTEGER) AS height,
+           CAST(d.d AS INTEGER) AS dim,
+           CAST(('0x' || substring(hx, 5 + 2 * d.d, 2)) AS INTEGER) / 255.0
+             AS value
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline on stand-in blobs: encode text ->
-    binary -> mapInPandas decode (stubbed, deterministic) -> typed feature
-    rows. The driver's rows-only check validates schema stability; decode
-    determinism is asserted in tests/test_multimodal.py."""
+    binary -> mapInPandas decode (stubbed, deterministic) -> posexplode to
+    scalar (doc_id, width, height, dim, value) rows the correctness harness
+    can canonicalize. The md5-derived fake decode is reproduced by the
+    DuckDB oracle from the same hex digest, so this is a full hash-checked
+    row; decode determinism is additionally pinned in
+    tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
-    return decode_features(blobs, "blob", "doc_id")
+    decoded = decode_features(blobs, "blob", "doc_id")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.posexplode("features").alias("dim", "value"),
+    ).withColumn("dim", F.col("dim").cast("int"))

@@ -338,14 +338,17 @@ def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     )
     """,
 )
 def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — engine-native NOT EXISTS."""
+    """LEFT ANTI join — engine-native NOT EXISTS. The right side is
+    pre-filtered (orders over 300k) so the result is non-empty at every
+    test SF — a 0-row result would vacuously match any broken plan."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -614,13 +617,18 @@ def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
     """,
 )
 def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewers who never made a purchase above 90 — the b-side filter makes
+    the difference non-empty at test SFs (every user has some purchase, so
+    the unfiltered EXCEPT was vacuously 0 rows)."""
     e = load_table(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "view").select("user_id")
-    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 90)).select(
+        "user_id"
+    )
     # subtract == SQL EXCEPT (set semantics): drop a's rows present in b at
     # all, then distinct — not exceptAll's multiset difference
     return a.subtract(b)
@@ -708,6 +716,185 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(tier.alias("tier")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dmoney("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "map_funcs_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (SURVEY §2.9 — previously unexercised): build a
+    per-user map event_type -> count with map_from_entries, then read it
+    back via element_at / map_keys / map_values + aggregate. The oracle is
+    the equivalent flat conditional aggregation, so the whole map round-trip
+    is hash-verified."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0).cast("long")).alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0).cast("long")).alias("n_purchase"),
+        F.size(F.map_keys("m")).alias("n_types"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("n_total"),
+    )
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER wt AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER wt AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER wu AS INTEGER) AS quartile,
+           LEAD(o_orderkey) OVER wu AS next_orderkey
+    FROM orders
+    WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           wu AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lead in one pass (SURVEY §2.6 — the
+    analytic functions beyond row_number/lag). Both window specs share the
+    o_custkey partitioning, so Catalyst plans ONE shuffle + one sort for
+    all four functions. rank/dense_rank run on the tie-prone price order
+    (their values are tie-invariant); ntile/lead use the unique
+    (price, orderkey) order so their output is deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wu = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.ntile(4).over(wu).alias("quartile"),
+        F.lead("o_orderkey").over(wu).alias("next_orderkey"),
+    )
+
+
+@query(
+    "agg_percentile_collect",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + collect_set (SURVEY §2.5 — the
+    aggregate surface beyond sum/avg). The collected set is sorted and
+    serialized to CSV so the result stays scalar-hashable (raw array
+    columns break order-insensitive canonicalization). At 100 TB prefer
+    approx_percentile (t-digest sketch, mergeable map-side) — exact
+    percentile needs the full group in one place."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("users_csv"),
+    )
+
+
+@query(
+    "range_join_price_tiers",
+    oracle="""
+    SELECT t.tier,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_total
+    FROM orders o
+    JOIN (VALUES ('budget',       0.0,   50000.0),
+                 ('mid',      50000.0,  150000.0),
+                 ('premium', 150000.0,  300000.0),
+                 ('luxury',  300000.0, 1000000.0)) AS t(tier, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a tiny banded dimension (SURVEY §2.4 —
+    range joins were named but unexercised). The dim is broadcast, so the
+    physical plan is BroadcastNestedLoopJoin over 4 rows — a per-row
+    interval lookup, no shuffle of the fact side. This is the scale-correct
+    shape for banded joins: never sort-merge a fact table on an inequality."""
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("premium", 150000.0, 300000.0),
+            ("luxury", 300000.0, 1000000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dmoney("o_totalprice")).alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "asof_join_clicks",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS ms_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.4): for every purchase, the latest click by the
+    same user at-or-before the purchase. Implemented with the scale-safe
+    union + last(ignorenulls) prefix-window trick — ONE shuffle on user_id
+    and a per-partition sort, instead of a per-row inequality join (which
+    Spark would plan as a nested loop). The oracle uses DuckDB's native
+    ASOF LEFT JOIN; 'click' < 'purchase' in the sort tiebreak reproduces
+    the >= (inclusive) as-of semantics for equal timestamps."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_millis("ts") - F.unix_millis("click_ts")).alias("ms_since_click"),
+        )
     )
 
 

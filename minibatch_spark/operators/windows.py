@@ -45,17 +45,41 @@ from minibatch_spark.registry import query
 def count_window_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CountWindow(size=10) semantics on a bounded stream: consecutive
     arrival-ordered batches of exactly 10 (last may be partial) — the
-    invariant pinned by reference tests/test_minibatch.py:48-87."""
+    invariant pinned by reference tests/test_minibatch.py:48-87.
+
+    Global row numbering is TWO-PASS, not a single global Window sort
+    (which funnels every row through one task): range-repartition on the
+    arrival key, number rows per partition in parallel, then add each
+    partition's cumulative row offset (a ~#partitions-row driver-side
+    prefix sum, broadcast back). Deterministic because (ts, event_id) is a
+    strict total order — partition boundaries may vary run to run, the
+    global numbering cannot."""
     from pyspark.sql import Window
 
+    from minibatch_spark.catalog import stage
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
+    part = e.select("value", "event_id", "ts").repartitionByRange(
+        32, "ts", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("ts", "event_id")
+    # staged: repartitionByRange SAMPLES its boundaries, so two separate
+    # actions (the counts collect below and the final agg) would otherwise
+    # see different pid assignments — materialize (pid, prn) exactly once
+    numbered = stage(part.withColumn("prn", F.row_number().over(wp)), "countwin-rn")
+    counts = sorted(
+        numbered.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r.pid,
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r.pid] = acc
+        acc += r.c
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )  # tiny (#partitions entries) — inlined, no join
     return (
-        e.select(
-            "value",
-            "event_id",
-            F.row_number().over(w).alias("rn"),
-        )
+        numbered.withColumn("rn", F.col("prn") + off[F.col("pid")])
         .groupBy(((F.col("rn") - 1) / 10).cast("long").alias("batch_id"))
         .agg(
             F.count(F.lit(1)).alias("batch_size"),
