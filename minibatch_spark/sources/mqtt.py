@@ -98,5 +98,20 @@ class MQTTSink:
         if not self._connected:
             host, port = _parse_url(self.url)
             c.connect(host, port)
+            # without a running network loop, paho queues publishes and
+            # (for QoS>0) never completes the handshake — messages would
+            # sit untransmitted forever
+            if hasattr(c, "loop_start"):
+                c.loop_start()
             self._connected = True
         c.publish(self.topic, json.dumps(message, default=str))
+
+    def close(self) -> None:
+        if self._client is not None and self._connected:
+            if hasattr(self._client, "loop_stop"):
+                self._client.loop_stop()
+            try:
+                self._client.disconnect()
+            except Exception:
+                pass
+            self._connected = False

@@ -59,10 +59,12 @@ def make_emitter(
     base_dir: Optional[str] = None,
     as_dataframe: bool = False,
     stream_obj: Optional[Stream] = None,
+    workers: Optional[int] = None,
     **emitter_kwargs,
 ) -> WindowEmitter:
     """Reference dispatch table (minibatch/__init__.py:89-120), verbatim
-    semantics on Spark strategies."""
+    semantics on Spark strategies. ``workers=N`` enables the reference's
+    parallel window processing (minibatch/window.py:84, README.rst:105-106)."""
     s = stream_obj or Stream.get_or_create(name, base_dir=base_dir or _default_base_dir)
     forwardfn = sink.put if sink is not None else None
     common = dict(
@@ -71,8 +73,15 @@ def make_emitter(
         keep=keep,
         emit_empty=emit_empty,
         as_dataframe=as_dataframe,
+        workers=workers,
     )
     if emitter is not None:
+        # reference passes size/interval through to custom emitter classes
+        # (minibatch/__init__.py:105-115) — don't silently drop them
+        if size is not None:
+            emitter_kwargs.setdefault("size", size)
+        if interval is not None:
+            emitter_kwargs.setdefault("interval", interval)
         em = emitter(s, **common, **emitter_kwargs)
     elif interval is not None and relaxed:
         em = RelaxedTimeWindow(s, interval=interval, **common)

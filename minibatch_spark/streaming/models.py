@@ -94,6 +94,11 @@ class Stream:
         self.batcher = Batcher(batchsize)
         self.max_age = max_age
         self.interval = interval
+        # seq is namespaced by a per-writer random 40-bit id: two producer
+        # handles (or a restarted process) can never emit colliding
+        # (created, seq) keys, so the emitter's orderBy('created','seq')
+        # stays a strict total order across writers and restarts
+        self._writer_id = uuid.uuid4().int & ((1 << 40) - 1)
         self._seq = 0
         self._lock = threading.Lock()
         self._source = None
@@ -165,7 +170,9 @@ class Stream:
             row = {
                 "stream": self.name,
                 "created": created or utcnow(),
-                "seq": self._seq,
+                # 40-bit writer id | 23-bit counter: unique within int64,
+                # monotone per writer (counter wraps at 8M appends/handle)
+                "seq": (self._writer_id << 23) | (self._seq & 0x7FFFFF),
                 "data": json.dumps(data, default=str),
             }
             if self.batcher.add(row):

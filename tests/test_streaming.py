@@ -1,0 +1,314 @@
+"""Streaming-layer invariants, ported from the reference test suite
+(/root/reference/minibatch/tests/test_minibatch.py):
+
+- CountWindow: 10 msgs with size=2 => EXACTLY 5 windows of 2, in order
+  (test_minibatch.py:48-87) + carry/restart semantics.
+- FixedTimeWindow: emits empty windows for gap buckets (window.py:250),
+  never re-emits a bucket (late data is dropped and counted), and closes
+  buckets by wall clock when the source is quiet.
+- keep=True persists windows (window.py:126-136).
+- TTL housekeeping drains the buffer (test_minibatch.py:287-298).
+- workers=N: a slow emit fn keeps up with 5 workers, falls behind with 1
+  (test_minibatch.py:209-273).
+
+All tests use Trigger.AvailableNow over tmpdir file-backed streams — the
+deterministic replacement for the reference's sleep-based polling loops.
+"""
+
+import time
+from datetime import datetime, timedelta
+
+from minibatch_spark.streaming.api import make_emitter, streaming
+from minibatch_spark.streaming.app import StreamingApp
+from minibatch_spark.streaming.models import Stream
+from minibatch_spark.streaming.window import (
+    CountWindow,
+    FixedTimeWindow,
+    RelaxedTimeWindow,
+)
+
+
+def _mk(tmp_path, name="s", **kw) -> Stream:
+    return Stream(name, base_dir=str(tmp_path), **kw)
+
+
+def test_count_window_invariant(spark, tmp_path):
+    """Reference test_minibatch.py:48-87: N msgs / size s => exactly N/s
+    windows of exactly s messages, in arrival order."""
+    s = _mk(tmp_path)
+    for i in range(10):
+        s.append({"i": i})
+    seen = []
+    em = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]), size=2)
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+    assert len(em.emitted) == 5
+
+
+def test_count_window_carry_and_restart(spark, tmp_path):
+    """Remainder rows persist in the carry file and complete a window
+    after a restart (a new emitter on the same name/checkpoint)."""
+    s = _mk(tmp_path)
+    for i in range(7):
+        s.append({"i": i})
+    seen = []
+    em = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+                     size=2, name="cw")
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1], [2, 3], [4, 5]]  # 6 is carried, NOT emitted short
+
+    s.append({"i": 7})
+    seen2 = []
+    em2 = CountWindow(s, emitfn=lambda w: seen2.append([d["i"] for d in w.data]),
+                      size=2, name="cw")  # same name -> same checkpoint+carry
+    em2.run(spark, available_now=True)
+    assert seen2 == [[6, 7]]
+
+
+def test_fixed_time_window_empty_and_order(spark, tmp_path):
+    """FixedTimeWindow emits one window PER bucket including EMPTY gap
+    buckets (reference window.py:250 emit_empty forced True)."""
+    s = _mk(tmp_path)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    s.append({"i": 0}, created=t0)
+    s.append({"i": 1}, created=t0 + timedelta(seconds=30))
+    # bucket t0+60..120 is EMPTY
+    s.append({"i": 2}, created=t0 + timedelta(seconds=150))
+    wins = []
+    em = FixedTimeWindow(s, emitfn=lambda w: wins.append([d["i"] for d in w.data]),
+                         interval=60)
+    em.run(spark, available_now=True)
+    assert wins == [[0, 1], [], [2]]
+    assert em.late_dropped == 0
+
+
+def test_fixed_time_window_drops_late_data(spark, tmp_path):
+    """A late row for an already-emitted bucket is DROPPED and counted —
+    never emitted as a duplicate window for that bucket (reference
+    semantics: query bounded below by advanced last_read,
+    window.py:258-267)."""
+    s = _mk(tmp_path)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    s.append({"i": 0}, created=t0)
+    s.append({"i": 1}, created=t0 + timedelta(seconds=90))
+    wins = []
+    em = FixedTimeWindow(s, emitfn=lambda w: wins.append([d["i"] for d in w.data]),
+                         interval=60, name="ftw")
+    em.run(spark, available_now=True)
+    assert wins == [[0], [1]]
+
+    # late arrival into bucket 0 — already emitted
+    s.append({"i": 99}, created=t0 + timedelta(seconds=10))
+    wins2 = []
+    em2 = FixedTimeWindow(s, emitfn=lambda w: wins2.append([d["i"] for d in w.data]),
+                          interval=60, name="ftw")
+    em2.run(spark, available_now=True)
+    assert wins2 == []  # no duplicate bucket emission
+    assert em2.late_dropped == 1
+
+
+def test_fixed_time_window_wall_clock_flush(spark, tmp_path):
+    """flush_closed emits every clock-closed bucket (empty included) during
+    quiet periods — the reference emits an (empty) window every interval
+    by wall clock (window.py:252-256)."""
+    s = _mk(tmp_path)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    s.append({"i": 0}, created=t0)
+    s.flush()
+    wins = []
+    em = FixedTimeWindow(s, emitfn=lambda w: wins.append([d["i"] for d in w.data]),
+                         interval=60)
+    # simulate one micro-batch arriving (the row lands in carry: its bucket
+    # is the newest and stays open), then two quiet wall-clock ticks
+    em.carry_meta = {}
+    windows, carry = em.split([{"created": t0, "data": '{"i": 0}', "seq": 1,
+                                "stream": s.name}], final=False)
+    assert windows == [] and len(carry) == 1
+    em._save_carry(carry, em.carry_meta)
+    n = em.flush_closed(now=t0 + timedelta(seconds=150))  # closes buckets t0, t0+60
+    assert n == 2
+    assert wins == [[0], []]  # data bucket then clock-closed empty bucket
+    # idempotent: a second flush at the same clock emits nothing
+    assert em.flush_closed(now=t0 + timedelta(seconds=150)) == 0
+
+
+def test_relaxed_window_all_messages(spark, tmp_path):
+    s = _mk(tmp_path)
+    for i in range(5):
+        s.append({"i": i})
+    seen = []
+    em = RelaxedTimeWindow(s, emitfn=lambda w: seen.append(len(w)), interval=1)
+    em.run(spark, available_now=True)
+    assert sum(seen) == 5
+
+
+def test_keep_persists_windows(spark, tmp_path):
+    """keep=True appends every emitted window to the windows table
+    (reference persist()/commit(), window.py:126-136)."""
+    s = _mk(tmp_path)
+    for i in range(4):
+        s.append({"i": i})
+    em = CountWindow(s, emitfn=lambda w: None, size=2, keep=True)
+    em.run(spark, available_now=True)
+    wdf = s.windows(spark)
+    assert wdf.count() == 2
+    assert set(wdf.columns) == {"stream", "created", "query", "data"}
+
+
+def test_ttl_expire_drains_buffer(tmp_path):
+    """Reference test_minibatch.py:287-298: housekeeping empties the
+    buffer once messages age out."""
+    s = _mk(tmp_path)
+    for i in range(5):
+        s.append({"i": i})
+    s.flush()
+    assert s.buffer_count() == 5
+    time.sleep(0.02)
+    dropped = s.expire(max_age=0.01)
+    assert dropped >= 1
+    assert s.buffer_count() == 0
+
+
+def test_workers_parallel_emit(spark, tmp_path):
+    """Reference worker-scaling contract (test_minibatch.py:209-273): a
+    slow emit fn (0.4 s) over 5 windows keeps up with workers=5 (emits
+    overlap) and falls behind with workers=1 (serial)."""
+
+    def slow(w):
+        time.sleep(0.4)
+
+    def run(workers, name):
+        s = _mk(tmp_path, name=name)
+        for i in range(10):
+            s.append({"i": i})
+        em = CountWindow(s, emitfn=slow, size=2, workers=workers, name=f"em-{name}")
+        t0 = time.monotonic()
+        em.run(spark, available_now=True)
+        assert len(em.emitted) == 5
+        assert not em.emit_errors
+        return time.monotonic() - t0
+
+    serial = run(1, "w1")
+    parallel = run(5, "w5")
+    # 5x0.4s serial vs overlapped: at least 1s of the 2s must come back
+    assert parallel < serial - 1.0, (serial, parallel)
+
+
+def test_forward_to_sink(spark, tmp_path):
+    """Emit results forward to the sink (reference forward/forwardfn,
+    window.py:155-157)."""
+    s = _mk(tmp_path)
+    got = []
+
+    class ListSink:
+        def put(self, m):
+            got.append(m)
+
+    for i in range(4):
+        s.append({"i": i})
+    em = make_emitter("s", stream_obj=s, emitfn=lambda w: len(w.data),
+                      size=2, sink=ListSink(), base_dir=str(tmp_path))
+    em.run(spark, available_now=True)
+    assert got == [2, 2]
+
+
+def test_make_emitter_dispatch(tmp_path):
+    """Reference dispatch table (minibatch/__init__.py:105-115) + the
+    size/interval forwarding fix for custom emitter classes."""
+    base = str(tmp_path)
+    assert isinstance(make_emitter("a", size=3, base_dir=base), CountWindow)
+    assert isinstance(make_emitter("b", interval=1, base_dir=base), RelaxedTimeWindow)
+    assert isinstance(
+        make_emitter("c", interval=1, relaxed=False, base_dir=base), FixedTimeWindow
+    )
+
+    class MyWindow(CountWindow):
+        pass
+
+    em = make_emitter("d", emitter=MyWindow, size=7, base_dir=base)
+    assert isinstance(em, MyWindow)
+    assert em.size == 7  # size reached the custom emitter constructor
+
+
+def test_streaming_decorator(spark, tmp_path):
+    """@streaming consumes what is buffered (reference __init__.py:15-75)."""
+    s = _mk(tmp_path, name="deco")
+    for i in range(6):
+        s.append({"i": i})
+    seen = []
+
+    @streaming("deco", size=3, spark=spark, available_now=True, base_dir=str(tmp_path))
+    def handler(window):
+        seen.append(len(window.data))
+
+    assert seen == [3, 3]
+
+
+def test_seq_unique_across_writers(tmp_path):
+    """Two producer handles on one stream never emit colliding seq keys
+    (writer-namespaced counters), keeping orderBy(created, seq) a strict
+    total order."""
+    a = _mk(tmp_path, name="multi")
+    b = Stream("multi", base_dir=str(tmp_path))
+    for i in range(50):
+        a.append({"i": i})
+        b.append({"i": i})
+    a.flush()
+    b.flush()
+    import pyarrow.parquet as pq
+    import os
+    seqs = []
+    for f in os.listdir(a.buffer_dir):
+        seqs.extend(pq.read_table(os.path.join(a.buffer_dir, f)).column("seq").to_pylist())
+    assert len(seqs) == 100
+    assert len(set(seqs)) == 100
+
+
+def test_streaming_app_status(tmp_path):
+    app = StreamingApp()
+    s = _mk(tmp_path, name="app")
+    app.add(CountWindow(s, emitfn=lambda w: None, size=2))
+    st = app.status()
+    assert len(st) == 1
+    (info,) = st.values()
+    assert info["state"] == "not-started"
+    assert info["emitted"] == 0
+
+
+def test_dataset_source_sink(spark, tmp_path):
+    """Named-dataset indirection (reference contrib/omegaml.py:4-99):
+    sink.put appends parquet parts under the registered location; the
+    source bridge polls them into a Stream; load() opens a readStream."""
+    import threading
+
+    from minibatch_spark.sources.dataset import (
+        DatasetRegistry,
+        DatasetSink,
+        DatasetSource,
+    )
+
+    reg = DatasetRegistry(base_dir=str(tmp_path))
+    sink = DatasetSink("results", registry=reg)
+    sink.put([{"a": 1}, {"a": 2}])
+    sink.put({"a": 3})
+    entry = reg.resolve("results")
+    assert entry is not None
+
+    # batch view over the sink output
+    assert spark.read.parquet(entry["path"]).count() == 3
+
+    # Stream.attach bridge: poll the dataset into a stream
+    s = _mk(tmp_path, name="bridge", batchsize=1)
+    src = DatasetSource("results", registry=reg, delay=0.01)
+    t = threading.Thread(target=src.stream, args=(s,), daemon=True)
+    t.start()
+    deadline = time.monotonic() + 5
+    while s.buffer_count() < 3 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    src.cancel()
+    t.join(timeout=2)
+    assert s.buffer_count() == 3
+
+    # engine path: readStream over the resolved location
+    sdf = DatasetSource("results", registry=reg).load(spark)
+    assert sdf.isStreaming
