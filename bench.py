@@ -50,8 +50,10 @@ def main() -> None:
     spark = get_spark(app_name="minibatch-spark-bench")
     queries = all_queries()
 
-    # warmup: spin up executors + codegen paths, uncounted
-    queries["q1_pricing_summary"](spark, SF_DIR).collect()
+    # warmup: spin up executors + JIT the common codegen/HOF/shuffle paths,
+    # uncounted (warmup queries are NOT in the headline set)
+    for w in ("q1_pricing_summary", "join_full_outer_nations", "dedup_fingerprint"):
+        queries[w](spark, SF_DIR).collect()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -64,6 +64,19 @@ SCRATCH_DIR = os.environ.get(
 )
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the plan is under-parallel.
+
+    The test corpus ships single-row-group parquet files, so every scan is
+    one input split and per-row-heavy pipelines (shingling, simhash votes,
+    signature UDFs) would run on ONE core until the first shuffle. At
+    100 TB the same scan yields thousands of splits and this is a no-op —
+    so the exchange it inserts exists exactly when the data is too small
+    for it to matter, and never in the at-scale plan."""
+    p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def stage(df: DataFrame, name: str) -> DataFrame:
     """Durable stage boundary: write ``df`` to scratch parquet, read it back.
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import load_table, stage
+from minibatch_spark.catalog import load_table, spread, stage
 from minibatch_spark.registry import query
 
 N_MINHASH = 16  # permutations
@@ -35,8 +35,8 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def shingles(col: str | Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-gram word shingles: set semantics for Jaccard.
+def shingles_of(tok_col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-gram word shingles over a PRE-STAGED token-array column.
 
     Built with zip_with over sliced copies of the token array — NEVER with
     an outer column reference inside a lambda: Spark re-evaluates captured
@@ -44,15 +44,26 @@ def shingles(col: str | Column, k: int = SHINGLE_K) -> Column:
     per document (measured 8x wall-time blowup on the 5k-doc corpus).
     zip_with pads the shorter (shifted) side with null; F.concat propagates
     the null, and the final filter drops the incomplete tail grams.
+
+    ``tok_col`` MUST be a materialized column (attribute reference), not an
+    inline ``tokens(...)`` expression: higher-order functions are
+    CodegenFallback (no common-subexpression elimination), so an inline
+    split() would be re-evaluated ~2k times per row here (measured ~2x
+    wall-time on the shingle stage).
     """
-    toks = tokens(col)
-    grams = toks
+    grams = tok_col
     for j in range(1, k):
         shifted = F.slice(
-            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+            tok_col, j + 1, F.greatest(F.size(tok_col) - j, F.lit(0))
         )
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+def shingles(col: str | Column, k: int = SHINGLE_K) -> Column:
+    """Convenience form tokenizing inline — fine for single-use
+    expressions; hot pipelines should stage tokens and use shingles_of."""
+    return shingles_of(tokens(col), k)
 
 
 def h64(c: Column) -> Column:
@@ -114,7 +125,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words document fingerprint: md5 over the sorted distinct token
     set — catches token-order permutations that exact dedup misses."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text")))))
     return d.groupBy(fp.alias("fingerprint")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -152,10 +163,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 permutations over 3-gram shingles), one row per
     document, columns mh0..mh15. Fully deterministic and engine-independent
     (md5-derived), so the oracle reproduces every signature value."""
-    d = load_table(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 3)
-    # staged projections: shingle array materializes once per row, then the
-    # 16 per-seed transforms read it as a cheap attribute reference
-    sh_df = d.select("doc_id", shingles("text").alias("sh"))
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # staged projections: tokens then shingles materialize once per row;
+    # the 16 per-seed transforms read cheap attribute references
+    tk_df = d.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 3)
+    sh_df = tk_df.select("doc_id", shingles_of(F.col("tk")).alias("sh"))
     sig_df = sh_df.select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
     return sig_df.select(
         "doc_id",
@@ -279,12 +291,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint — executor loss at cluster scale cannot drop blocks of
     the self-join's build side.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     reps = d.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
     )
-    base = reps.filter(F.size(tokens("text")) >= 3)
-    sh_df = base.select("doc_id", shingles("text").alias("sh"))
+    tk_df = reps.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 3)
+    sh_df = tk_df.select("doc_id", shingles_of(F.col("tk")).alias("sh"))
     h_df = sh_df.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
     sig_df = stage(
         h_df.select("doc_id", fast_minhash_sig(F.col("hs")).alias("sig")),
@@ -344,6 +356,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_SHINGLE_DF = 64  # document-frequency above which a shingle is "hot"
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -377,7 +392,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. stage each doc's distinct shingle set (1 row per doc, durable);
     2. global shingle order = (document frequency asc, shingle) — rarest
-       first;
+       first (df attach join + per-doc row_number; one map-side-combined
+       count and one posting shuffle. An array-local sort was measured
+       3x SLOWER: array_sort/transform comparators are interpreted
+       CodegenFallback per element);
     3. each doc exposes only its first |A| - ceil(t*|A|) + 1 shingles
        (~0.2*|A|) to the inverted-index self-join. EXACT: any pair with
        jaccard >= t has |A∩B| >= ceil(t*|A|), so its globally-smallest
@@ -391,8 +409,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the shingle projection: the single-split test corpus
+    # would otherwise single-task the entire tokenize+shingle compute
     sh_arr = stage(
-        d.select("doc_id", shingles("text").alias("sh"))
+        spread(d)
+        .select("doc_id", tokens("text").alias("tk"))
+        .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
         .withColumn("n", F.size("sh"))
         .filter(F.col("n") > 0),
         "ngram-sh",
@@ -466,7 +488,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays all 60 per-bit majority votes; Hamming-distance
     semantics are additionally pinned in tests/test_dedup.py.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     # explode -> hash once per (doc, token) -> 60 codegen'd SUM aggregates.
     # (The array-fold formulation re-evaluates the hash array per bit — 60x
     # the work in interpreted HOF eval; grouped SUMs stay in whole-stage

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from minibatch_spark.catalog import load_table
+from minibatch_spark.catalog import load_table, spread
 from minibatch_spark.registry import query
 
 
@@ -42,7 +42,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     + sha256 digest, all JVM-side. (documents.text stands in for a blob
     payload; the same expressions apply to a true BinaryType column read
     via spark.read.format('binaryFile').)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
@@ -127,7 +127,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle from the same hex digest, so this is a full hash-checked
     row; decode determinism is additionally pinned in
     tests/test_multimodal.py."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
     decoded = decode_features(blobs, "blob", "doc_id")
     return decoded.select(

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from minibatch_spark.catalog import load_table, stage
+from minibatch_spark.catalog import load_table, spread, stage
 from minibatch_spark.registry import query
 
 N_PLANES = 16
@@ -73,7 +73,7 @@ def cosine(a: Column, b: Column) -> Column:
 )
 def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector plumbing smoke: per-row dimensionality and L2 norm."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     v = as_double("embedding")
     return e.select(
         "vec_id",
@@ -101,7 +101,7 @@ def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode -> (label, dim) agg.
     The kmeans-style building block; shuffle keyed on (label, dim)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
@@ -131,7 +131,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query vector is collected once (1 row) and inlined as a literal —
     the classic broadcast-the-query pattern; the scan stays a single
     shuffle-free pass ending in TakeOrderedAndProject."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
     qv = F.array(*[F.lit(float(x)) for x in qrow.embedding])
     sim = F.round(cosine(as_double("embedding"), qv), 6)
@@ -216,7 +216,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized integer projection is engine-independent; recall vs
     ann_topk_bruteforce is additionally pinned in tests/test_similarity.py.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     dim = len(e.select("embedding").first().embedding)
     sig = signature_udf(dim)
     return e.select("vec_id", "label", sig("embedding").alias("bucket"))
@@ -259,7 +259,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; at 100 TB both joins shuffle on their keys — no cross join
     anywhere). Fully hash-checked: the oracle replays banding AND verify.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     dim = len(e.select("embedding").first().embedding)
     sig = signature_udf(dim)
     v_df = stage(

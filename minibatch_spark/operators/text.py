@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import load_table
+from minibatch_spark.catalog import load_table, spread
 from minibatch_spark.operators.dedup import tokens
 from minibatch_spark.registry import query
 
@@ -42,12 +42,15 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + lexical-diversity stats per document."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # stage tokens once: HOFs are CodegenFallback (no CSE), so an inline
+    # tokens() here would re-run split() ~4x per row
+    staged = d.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
     n = F.size(t).cast("long")
     n_uniq = F.size(F.array_distinct(t)).cast("long")
     total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return d.select(
+    return staged.select(
         "doc_id",
         n.alias("n_tokens"),
         n_uniq.alias("n_unique"),
@@ -77,8 +80,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality gate (Gopher-rules style): doc length bounds +
     stopword-ratio band. Emits the ratio and a 0/1 keep flag."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
     n = F.size(t)
     n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     ratio = F.round(n_stop.cast("double") / n, 6)
@@ -86,7 +90,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.between(5, 5000) & (n_stop.cast("double") / n).between(0.01, 0.6),
         1,
     ).otherwise(0)
-    return d.select(
+    return staged.select(
         "doc_id",
         ratio.alias("stopword_ratio"),
         ok.alias("quality_ok"),
@@ -112,10 +116,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: English-stopword density >= 5% -> 'en'.
     (A real n-gram model slots in here as a broadcast lookup table; the
     plumbing — per-doc token profile vs reference profile — is identical.)"""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", "lang", tokens("text").alias("t"))
+    t = F.col("t")
     ratio = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(t)
-    return d.select(
+    return staged.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
@@ -143,8 +148,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 bigrams: per-doc n-gram expansion (flat array
     transform, no shuffle) -> hash agg -> TakeOrdered top-k."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select(tokens("text").alias("t"))
+    t = F.col("t")
     # zip_with over a shifted slice — no outer column refs inside the lambda
     # (those re-evaluate tokenization per element, O(n^2) per doc)
     grams = F.filter(
@@ -156,7 +162,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda g: g.isNotNull(),
     )
     return (
-        d.select(F.explode(grams).alias("bigram"))
+        staged.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
