@@ -1,0 +1,136 @@
+"""Watermarked streaming aggregation (W11) invariants:
+
+- complete mode: window bucket math over the stream source matches the
+  batch expectation;
+- append mode across restarts: a window is finalized exactly once, when
+  the watermark passes its end, and a row arriving BELOW the watermark
+  (too late) is dropped by the engine — never double-counted, never
+  re-opened. This is the disciplined version of the reference's silent
+  late-data loss (minibatch/window.py:269-278).
+"""
+
+import json
+import os
+from datetime import datetime, timedelta
+
+from minibatch_spark.streaming.aggregate import (
+    read_sink,
+    run_available_now,
+    session_frame,
+    windowed_frame,
+)
+from minibatch_spark.streaming.models import Stream
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _mk(tmp_path, name="agg", **kw) -> Stream:
+    return Stream(name, base_dir=str(tmp_path), **kw)
+
+
+def test_windowed_complete_mode_bucket_math(spark, tmp_path):
+    s = _mk(tmp_path)
+    for sec, v in [(5, 1.0), (20, 2.0), (65, 3.0), (70, 4.0), (125, 5.0)]:
+        s.append({"v": v}, created=T0 + timedelta(seconds=sec))
+    s.flush()
+    df = windowed_frame(s, spark, interval_seconds=60)
+    run_available_now(
+        df,
+        os.path.join(str(tmp_path), "ckpt-complete"),
+        output_mode="complete",
+        query_name="agg_complete",
+    )
+    rows = {
+        r.window_start: (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM agg_complete").collect()
+    }
+    assert rows == {
+        T0: (2, 3.0),
+        T0 + timedelta(seconds=60): (2, 7.0),
+        T0 + timedelta(seconds=120): (1, 5.0),
+    }
+
+
+def test_append_mode_finalizes_once_and_drops_late(spark, tmp_path):
+    """interval=30s, watermark=10s.
+
+    Run 1: rows at t0+5 (B0) and t0+65 (B2) -> watermark t0+55; no window
+           end <= t0+55 is final except B0 [t0,t0+30) and B1 -- B0 emitted
+           without waiting, B1 was empty (no row -> no state -> no output).
+    Between runs: a LATE row at t0+10 (B0: end t0+30 < watermark t0+55 ->
+           dropped by the engine) and a fresh row at t0+125 -> run 2
+           advances the watermark to t0+115, finalizing B2.
+    Assert: B0 emitted exactly once with n=1 (late row NOT counted), B2
+           emitted with n=1."""
+    s = _mk(tmp_path, name="late")
+    ckpt = os.path.join(str(tmp_path), "ckpt-append")
+    sink = os.path.join(str(tmp_path), "sink")
+
+    s.append({"v": 1.0}, created=T0 + timedelta(seconds=5))
+    s.append({"v": 2.0}, created=T0 + timedelta(seconds=65))
+    s.flush()
+    run_available_now(
+        windowed_frame(s, spark, 30), ckpt, sink_dir=sink, query_name="a1"
+    )
+    first = {r.window_start: r.n for r in read_sink(spark, sink).collect()}
+    assert first == {T0: 1}  # B0 finalized by watermark t0+55
+
+    s.append({"v": 99.0}, created=T0 + timedelta(seconds=10))  # too late: < wm
+    s.append({"v": 3.0}, created=T0 + timedelta(seconds=125))
+    s.flush()
+    run_available_now(
+        windowed_frame(s, spark, 30), ckpt, sink_dir=sink, query_name="a2"
+    )
+    final = {r.window_start: (r.n, r.sum_value) for r in read_sink(spark, sink).collect()}
+    # B0 appears exactly once with the ORIGINAL count — the late row was
+    # dropped, not merged, and the window was not re-emitted
+    assert final[T0] == (1, 1.0)
+    assert final[T0 + timedelta(seconds=60)] == (1, 2.0)  # B2 finalized
+    assert len(final) == 2  # B4 (t0+120) still open
+
+
+def test_sliding_windows_assign_overlaps(spark, tmp_path):
+    s = _mk(tmp_path, name="slide")
+    s.append({"v": 1.0}, created=T0 + timedelta(seconds=45))
+    s.flush()
+    run_available_now(
+        windowed_frame(s, spark, 60, slide_seconds=30),
+        os.path.join(str(tmp_path), "ckpt-slide"),
+        output_mode="complete",
+        query_name="agg_slide",
+    )
+    starts = sorted(
+        r.window_start for r in spark.sql("SELECT * FROM agg_slide").collect()
+    )
+    assert starts == [T0, T0 + timedelta(seconds=30)]  # len/slide = 2 buckets
+
+
+def test_session_frame_gap_merge(spark, tmp_path):
+    s = _mk(tmp_path, name="sess")
+    for sec, user in [(0, "a"), (5, "a"), (300, "a"), (0, "b")]:
+        s.append({"user": user}, created=T0 + timedelta(seconds=sec))
+    s.flush()
+    run_available_now(
+        session_frame(s, spark, gap_seconds=60),
+        os.path.join(str(tmp_path), "ckpt-sess"),
+        output_mode="complete",
+        query_name="agg_sess",
+    )
+    rows = {(r.key, r.session_start): r.n for r in spark.sql("SELECT * FROM agg_sess").collect()}
+    assert rows == {
+        ("a", T0): 2,  # 0s and 5s merge (gap < 60)
+        ("a", T0 + timedelta(seconds=300)): 1,
+        ("b", T0): 1,
+    }
+
+
+def test_payload_roundtrip_json(tmp_path):
+    """The value_path contract: payloads are JSON strings in the buffer."""
+    s = _mk(tmp_path, name="json")
+    s.append({"v": 1.5, "user": "x"})
+    s.flush()
+    import pyarrow.parquet as pq
+
+    f = os.path.join(s.buffer_dir, os.listdir(s.buffer_dir)[0])
+    row = pq.read_table(f).to_pylist()[0]
+    assert json.loads(row["data"]) == {"v": 1.5, "user": "x"}
