@@ -300,3 +300,84 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
+
+
+IVF_NPROBE = 3  # coarse cells searched per query
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ), cexp AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label, list(ROUND(avg_val, 6) ORDER BY dim) AS cv
+      FROM (SELECT label, dim, SUM(val) / COUNT(*) AS avg_val
+            FROM cexp GROUP BY label, dim)
+      GROUP BY label
+    ), probes AS (
+      SELECT label FROM cent, q
+      ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, label
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+             AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label IN (SELECT label FROM probes)
+      AND e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    the LSH one: label centroids act as the cell centroids, the query
+    probes its IVF_NPROBE nearest cells, and only vectors in those cells
+    are scored. At 100 TB the corpus is partitioned (bucketed) by cell id,
+    so a probe reads nprobe/ncells of the data — partition pruning does
+    the candidate cut, no per-row index needed.
+
+    Centroid components are rounded to 6dp on BOTH engines before the
+    probe ranking, so cell selection is deterministic cross-engine; the
+    within-cell scoring is the same rounded-cosine TakeOrdered as the
+    brute-force baseline."""
+    import numpy as np
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qv_np = np.asarray(qrow.embedding, dtype=np.float64)
+
+    cent_rows = (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r.label, {})[r.pos] = r.c
+    def cos(c: dict) -> float:
+        cv = np.array([c[i] for i in sorted(c)])
+        return round(float(cv @ qv_np / (np.linalg.norm(cv) * np.linalg.norm(qv_np))), 6)
+    probes = [
+        lbl for lbl, _ in sorted(
+            ((lbl, cos(c)) for lbl, c in by_label.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:IVF_NPROBE]
+    ]
+
+    qv = F.array(*[F.lit(float(x)) for x in qrow.embedding])
+    sim = F.round(cosine(as_double("embedding"), qv), 6)
+    return (
+        e.filter(F.col("label").isin(probes) & (F.col("vec_id") != qrow.vec_id))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -168,3 +168,98 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): no lookahead/lookbehind.
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+             AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                 / greatest(n_chars, 1), 6) AS tokens_per_char
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style regex pre-tokenizer (space-
+    prefixed word / number / punctuation runs) next to the whitespace
+    count — the cost estimator a training pipeline runs before the real
+    (vocab-dependent) tokenizer. The pattern avoids lookahead so Java
+    regex and RE2 (DuckDB) agree byte-for-byte."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.round(
+            F.size(bpe).cast("double") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+        ).alias("tokens_per_char"),
+    )
+
+
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(text) - {WINNOW_K} + 1, 0)),
+               i -> CAST(('0x' || substring(md5(substring(text, i, {WINNOW_K})), 1, 15))
+                         AS BIGINT)) AS hs
+      FROM documents
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {WINNOW_W} + 1, 0)),
+               j -> list_min(hs[j : j + {WINNOW_W} - 1]))) AS fp
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS INTEGER) AS n_fp,
+           list_min(fp) AS fp_min,
+           list_max(fp) AS fp_max
+    FROM fps
+    WHERE len(fp) > 0
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer et al., SIGMOD'03):
+    rolling char 8-gram hashes -> min per sliding window of 4 -> distinct
+    window-minima are the fingerprint set. Guarantees any shared substring
+    of length >= k + w - 1 produces a shared fingerprint — the plagiarism/
+    near-dup detection primitive. All md5-derived, per-row, shuffle-free;
+    the oracle replays it exactly (summary stats per doc keep the output
+    scalar-hashable)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hs = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {WINNOW_K} + 1, 0)),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 15), 16, 10) as bigint))"
+    )
+    staged = d.select("doc_id", hs.alias("hs"))
+    fp = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 0)),"
+        f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+    )
+    return (
+        staged.select("doc_id", fp.alias("fp"))
+        .filter(F.size("fp") > 0)
+        .select(
+            "doc_id",
+            F.size("fp").alias("n_fp"),
+            F.array_min("fp").alias("fp_min"),
+            F.array_max("fp").alias("fp_max"),
+        )
+    )
