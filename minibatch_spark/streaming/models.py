@@ -225,6 +225,19 @@ class Stream:
             return spark.createDataFrame([], SPARK_DDL)
         return spark.read.schema(SPARK_DDL).parquet(self.buffer_dir)
 
+    def typed_frame(self, spark, schema: str):
+        """Batch DataFrame with the payload parsed to a TYPED struct —
+        the SURVEY §1.2 'declared StructType per stream' option (the
+        reference's ``strict: False`` DictField maps to the JSON-string
+        column; this is the schema-on-read path that buys Catalyst
+        pruning). ``schema`` is a DDL string, e.g. ``"v double, user
+        string"``."""
+        from pyspark.sql import functions as F
+
+        return self.buffer(spark).select(
+            "stream", "created", "seq", F.from_json("data", schema).alias("data")
+        ).select("stream", "created", "seq", "data.*")
+
     def windows(self, spark):
         """Batch DataFrame over persisted windows (keep=True)."""
         import glob as g

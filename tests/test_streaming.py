@@ -368,3 +368,47 @@ def test_status_counters(spark, tmp_path):
     em.run(spark, available_now=True)
     st = em.status
     assert st["emitted"] == 2 and st["emit_errors"] == 0 and st["late_dropped"] == 0
+
+
+def test_emit_failure_replays_batch(spark, tmp_path):
+    """W9 at-least-once: a sync emit-fn exception fails the micro-batch
+    BEFORE the carry/offsets commit; a restarted emitter (same checkpoint)
+    re-delivers every window — no message loss (reference undo(),
+    minibatch/window.py:119-124,214-218)."""
+    import pytest
+
+    s = _mk(tmp_path, name="undo")
+    for i in range(6):
+        s.append({"i": i})
+
+    calls = []
+
+    def flaky(w):
+        calls.append([d["i"] for d in w.data])
+        if len(calls) == 2:
+            raise RuntimeError("boom")
+
+    em = CountWindow(s, emitfn=flaky, size=2, name="undo-em", clean_source=False)
+    with pytest.raises(Exception):
+        em.run(spark, available_now=True)
+    assert calls == [[0, 1], [2, 3]]  # failed mid-batch
+
+    seen = []
+    em2 = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+                      size=2, name="undo-em", clean_source=False)
+    em2.run(spark, available_now=True)
+    # the whole failed micro-batch replays: all three windows re-delivered
+    assert seen == [[0, 1], [2, 3], [4, 5]]
+
+
+def test_typed_frame_schema_on_read(spark, tmp_path):
+    """SURVEY §1.2: payloads parse to a declared StructType for typed
+    relational access over the buffer."""
+    s = _mk(tmp_path, name="typed")
+    s.append({"v": 1.5, "user": "a"})
+    s.append({"v": 2.5, "user": "b"})
+    s.flush()
+    df = s.typed_frame(spark, "v double, user string")
+    rows = {r.user: r.v for r in df.collect()}
+    assert rows == {"a": 1.5, "b": 2.5}
+    assert dict(df.dtypes)["v"] == "double"
