@@ -918,3 +918,115 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.5) — the general form rollup/cube
+    specialize. One shuffle: Spark expands the sets map-side (Expand) then
+    hash-aggregates, so adding sets does not add shuffles. grouping_id
+    disambiguates a NULL group key from a rolled-up one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dmoney("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "pivot_orders_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(20,6)) AS DOUBLE) AS rev_f,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(20,6)) AS DOUBLE) AS rev_o,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DECIMAL(20,6)) AS DOUBLE) AS rev_p,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an EXPLICIT value list — without it Spark
+    must run an extra distinct job to discover the columns; with it the
+    plan is a single shuffle + pivot-aggregate, and the output schema is
+    stable (what a 100 TB job needs: no data-dependent schema)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            dsum(dmoney("o_totalprice")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("P_rev").alias("rev_p"),
+        (
+            F.coalesce("F_n", F.lit(0))
+            + F.coalesce("O_n", F.lit(0))
+            + F.coalesce("P_n", F.lit(0))
+        ).alias("n_orders"),
+    )
+
+
+@query(
+    "approx_sketches_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BOOLEAN) AS hll_within_5pct,
+           CAST(1 AS BOOLEAN) AS pctl_within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators for the 100 TB path: HyperLogLog++ distinct counts
+    and approximate percentiles, ORACLE-CHECKED ON THEIR ERROR CONTRACT.
+
+    Exact COUNT(DISTINCT) needs a full shuffle of every distinct key;
+    the sketches are fixed-size mergeable state (map-side partial agg,
+    bytes per group instead of keys per group) — at 1000 executors that is
+    the difference between a re-partition of 100 TB and a few KB per
+    task. The engines' sketch internals differ, so the oracle pins what
+    is portable: the exact count, plus booleans asserting the approximate
+    answers land inside their documented error bounds (HLL++ rsd=0.05;
+    percentile_approx bracketed by exact min/max)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    rel_err = F.abs(F.col("hll_users") - F.col("exact_users")) / F.col("exact_users")
+    return a.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= F.lit(0.05)).alias("hll_within_5pct"),
+        (
+            (F.col("p50") >= F.col("vmin")) & (F.col("p50") <= F.col("vmax"))
+        ).alias("pctl_within_bounds"),
+    )
