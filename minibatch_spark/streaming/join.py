@@ -1,0 +1,73 @@
+"""Stream-stream joins — ABSENT in the reference (SURVEY §2.10 lists
+stream-stream joins among the features the reference lacks entirely; its
+only multi-stream story is multiple producers appending to ONE buffer,
+README.rst:30). Structured Streaming has them built in; this module wires
+two ``Stream`` buffers into a watermarked, time-bounded equi-join.
+
+Scale contract (the part that matters at 100 TB/day):
+
+- BOTH sides carry a watermark and the join predicate carries a time
+  bound (``right.created`` within ±``within_seconds`` of
+  ``left.created``). Together these let the engine EVICT buffered rows
+  once the watermark passes their join horizon — without them an inner
+  stream-stream join must buffer both streams forever.
+- The join shuffles both sides on the key; state lives in the state
+  store partitioned the same way, so matching is executor-local.
+- Outer results (``how='left_outer'``) emit only after the watermark
+  proves no match can still arrive — same finalize-once discipline as
+  the windowed aggregations in streaming/aggregate.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minibatch_spark.streaming.models import SPARK_DDL, Stream
+
+
+def joined_frame(
+    left: Stream,
+    right: Stream,
+    spark,
+    key_path: str = "$.k",
+    within_seconds: float = 60.0,
+    watermark: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streams on a JSON payload key, right-side event time
+    within ``±within_seconds`` of the left's.
+
+    Returns one row per matched pair: the key, both event times, both
+    payloads, and the signed lag (right − left, ms). ``how='left_outer'``
+    keeps unmatched left rows (right columns null) once the watermark
+    passes their horizon."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
+
+    def side(s: Stream, tag: str) -> DataFrame:
+        return (
+            spark.readStream.schema(SPARK_DDL)
+            .parquet(s.buffer_dir)
+            .withWatermark("created", watermark)
+            .select(
+                F.get_json_object("data", key_path).alias(f"{tag}_key"),
+                F.col("created").alias(f"{tag}_created"),
+                F.col("data").alias(f"{tag}_data"),
+            )
+        )
+
+    l, r = side(left, "l"), side(right, "r")
+    bound = F.expr(
+        f"r_created BETWEEN l_created - INTERVAL {within_seconds} SECONDS"
+        f" AND l_created + INTERVAL {within_seconds} SECONDS"
+    )
+    joined = l.join(r, (F.col("l_key") == F.col("r_key")) & bound, how)
+    return joined.select(
+        F.col("l_key").alias("key"),
+        "l_created",
+        "r_created",
+        "l_data",
+        "r_data",
+        (F.unix_millis("r_created") - F.unix_millis("l_created")).alias("lag_ms"),
+    )

@@ -134,3 +134,52 @@ def test_payload_roundtrip_json(tmp_path):
     f = os.path.join(s.buffer_dir, os.listdir(s.buffer_dir)[0])
     row = pq.read_table(f).to_pylist()[0]
     assert json.loads(row["data"]) == {"v": 1.5, "user": "x"}
+
+
+def test_stream_stream_join_inner_time_bound(spark, tmp_path):
+    """Stream-stream inner join (ABSENT in reference): matches only pairs
+    with equal payload key AND right event time within ±30s of left."""
+    from minibatch_spark.streaming.join import joined_frame
+
+    l, r = _mk(tmp_path, name="jl"), _mk(tmp_path, name="jr")
+    l.append({"k": "a", "v": 1}, created=T0)
+    l.append({"k": "b", "v": 2}, created=T0)
+    l.flush()
+    r.append({"k": "a", "v": 10}, created=T0 + timedelta(seconds=5))    # match
+    r.append({"k": "a", "v": 11}, created=T0 + timedelta(seconds=95))   # out of bound
+    r.append({"k": "c", "v": 12}, created=T0 + timedelta(seconds=5))    # no key match
+    r.flush()
+
+    df = joined_frame(l, r, spark, key_path="$.k", within_seconds=30)
+    run_available_now(
+        df, os.path.join(str(tmp_path), "ckpt-ssj"), query_name="ssj"
+    )
+    rows = spark.sql("SELECT key, lag_ms FROM ssj").collect()
+    assert [(r_.key, r_.lag_ms) for r_ in rows] == [("a", 5000)]
+
+
+def test_stream_stream_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: an unmatched left row emits with null right side once
+    the watermark proves no match can still arrive."""
+    from minibatch_spark.streaming.join import joined_frame
+
+    l, r = _mk(tmp_path, name="jol"), _mk(tmp_path, name="jor")
+    l.append({"k": "a"}, created=T0)
+    l.append({"k": "z"}, created=T0)  # never matched
+    l.flush()
+    r.append({"k": "a"}, created=T0 + timedelta(seconds=1))
+    # a much-later row on BOTH sides advances both watermarks past T0's
+    # join horizon so the unmatched 'z' row can finalize
+    l.append({"k": "__tick__"}, created=T0 + timedelta(seconds=600))
+    l.flush()
+    r.append({"k": "__tick__"}, created=T0 + timedelta(seconds=600))
+    r.flush()
+
+    df = joined_frame(l, r, spark, key_path="$.k", within_seconds=30,
+                      watermark="10 seconds", how="left_outer")
+    ckpt = os.path.join(str(tmp_path), "ckpt-ssjo")
+    run_available_now(df, ckpt, query_name="ssjo")
+    got = {(r_.key, r_.r_created is None) for r_ in
+           spark.sql("SELECT key, r_created FROM ssjo").collect()}
+    assert ("a", False) in got
+    assert ("z", True) in got
