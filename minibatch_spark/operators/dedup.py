@@ -358,10 +358,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOT_SHINGLE_DF = 64  # document-frequency above which a shingle is "hot"
 
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+# Shared by dedup_ngram_jaccard (the pair set itself) and
+# dedup_cluster_reps (connected components OVER that pair set).
+_NGRAM_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -384,8 +383,10 @@ HOT_SHINGLE_DF = 64  # document-frequency above which a shingle is "hot"
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    """,
-)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold t=0.8) via PREFIX
     FILTERING (Bayardo et al. All-Pairs / PPJoin candidate condition):
@@ -514,3 +515,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed + term
     return agg_df.select("doc_id", packed.alias("simhash"))
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, MIN(m) AS rep_id FROM reach GROUP BY u
+"""
+
+
+@query("dedup_cluster_reps", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER canonicalization: connected components over the
+    near-dup pair graph, each doc labeled with its component's minimum
+    doc_id (the canonical representative a training-data pipeline keeps).
+    Pairs alone under-deduplicate: A~B and B~C with A!~C must still
+    collapse to one kept doc — that needs the transitive closure.
+
+    Spark side is iterative MIN-LABEL PROPAGATION (the standard
+    distributed connected-components shape, cf. GraphX/Pregel and the
+    large-star/small-star algorithm of Kiveris et al.): every node starts
+    labeled with itself; each round labels flow across edges and every
+    node keeps the minimum seen; fixpoint when no label changes. Rounds =
+    longest shortest-path in a component — tiny for dup clusters (dense,
+    small-diameter). Each round is one join + one map-side-combined min-agg
+    on the EDGE set only (dup-graph nodes are a sliver of the corpus at
+    100 TB; the full corpus never enters the loop). stage() between rounds
+    cuts lineage so the plan does not grow with the iteration count.
+
+    The DuckDB oracle computes the same closure with a recursive CTE —
+    full rows+schema+hash verification of an iterative algorithm.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = stage(
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("u", "v"),
+        "cc-edges",
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for it in range(25):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("label").alias("nlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nlabel").alias("nl"))
+        )
+        new = (
+            labels.join(neigh, labels.id == neigh.u, "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # per-iteration stage name: stage() reclaims earlier stages of the
+        # SAME name eagerly, and iteration i+1's plan still reads i's files
+        new = stage(new, f"cc-labels-{it % 2}")
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge in 25 rounds")
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep_id"))
