@@ -263,3 +263,67 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("fp").alias("fp_max"),
         )
     )
+
+
+@query(
+    "docs_filter_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(text) AS th,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> x IN {_SW_SQL})) AS DOUBLE)
+               / len(t) AS swr,
+             len(t) AS n,
+             MIN(doc_id) OVER (PARTITION BY th) AS rep_id
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN n BETWEEN 5 AND 5000 AND swr BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS quality_ok,
+           CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END AS is_en,
+           CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS is_canonical,
+           CASE WHEN n BETWEEN 5 AND 5000 AND swr BETWEEN 0.01 AND 0.6
+                 AND swr >= 0.05 AND doc_id = rep_id
+                THEN 1 ELSE 0 END AS keep
+    FROM flags
+    """,
+)
+def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation decision, one row per document:
+    the composed pipeline (quality gate ∘ language filter ∘ exact-dedup
+    canonicalization) every LLM data run applies before tokenization.
+
+    Plan shape: the three stages FUSE — quality and langid are pure
+    per-row column math (whole-stage codegen, zero shuffle) layered onto
+    the ONE shuffle the dedup step needs (hash-partition by md5(text) for
+    the per-group min window). At 100 TB that is a single exchange of
+    (16-byte hash, doc_id) pairs; the texts themselves never move. The
+    boolean reason columns make the filter auditable — a kept/dropped
+    decision can be traced to the gate that made it."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", F.md5("text").alias("th"), tokens("text").alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    swr = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    flags = staged.select(
+        "doc_id",
+        swr.alias("swr"),
+        n.alias("n"),
+        F.min("doc_id").over(Window.partitionBy("th")).alias("rep_id"),
+    )
+    quality = F.col("n").between(5, 5000) & F.col("swr").between(0.01, 0.6)
+    is_en = F.col("swr") >= 0.05
+    canon = F.col("doc_id") == F.col("rep_id")
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return flags.select(
+        "doc_id",
+        as_int(quality).alias("quality_ok"),
+        as_int(is_en).alias("is_en"),
+        as_int(canon).alias("is_canonical"),
+        as_int(quality & is_en & canon).alias("keep"),
+    )
