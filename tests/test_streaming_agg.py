@@ -183,3 +183,38 @@ def test_stream_stream_join_left_outer_emits_unmatched(spark, tmp_path):
            spark.sql("SELECT key, r_created FROM ssjo").collect()}
     assert ("a", False) in got
     assert ("z", True) in got
+
+
+def test_stateful_count_window_invariant_and_restart(spark, tmp_path):
+    """applyInPandasWithState CountWindow: 10 msgs / size=2 => exactly 5
+    windows of 2 in arrival order (reference test_minibatch.py:48-87),
+    with the remainder carried in the STATE STORE across a restart.
+    File sink (not memory): the point is checkpoint recovery, which the
+    memory sink refuses."""
+    import json
+
+    from minibatch_spark.streaming.stateful import stateful_count_window
+
+    s = _mk(tmp_path, name="st-cw")
+    ckpt = os.path.join(str(tmp_path), "ckpt-stcw")
+    sink = os.path.join(str(tmp_path), "sink-stcw")
+    for i in range(5):  # odd leftover after run 1: windows [0,1] [2,3], carry [4]
+        s.append({"i": i}, created=T0 + timedelta(seconds=i))
+    s.flush()
+    run_available_now(stateful_count_window(s, spark, size=2), ckpt,
+                      sink_dir=sink, query_name="stcw1")
+
+    def windows():
+        rows = spark.read.parquet(sink).orderBy("window_id").collect()
+        assert all(r.n == 2 for r in rows)
+        return [[json.loads(d)["i"] for d in json.loads(r.data_json)] for r in rows]
+
+    assert windows() == [[0, 1], [2, 3]]
+
+    for i in range(5, 10):
+        s.append({"i": i}, created=T0 + timedelta(seconds=i))
+    s.flush()
+    run_available_now(stateful_count_window(s, spark, size=2), ckpt,
+                      sink_dir=sink, query_name="stcw2")
+    # restart resumes from state: carry [4] + new rows; 10 msgs => exactly 5 windows
+    assert windows() == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
