@@ -107,3 +107,36 @@ def test_scans_whole_stage_codegen(spark):
         # (the formatted mode hides them behind AdaptiveSparkPlan pre-run)
         plan = explain_str(_q(name)(spark, SF_SMOKE), mode="codegen")
         assert "WholeStageCodegen" in plan, name
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS expands map-side (Expand) then aggregates — adding
+    sets must not add exchanges."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("grouping_sets_orders")(spark, SF_SMOKE), mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_two_phase_partial_agg(spark):
+    """Pivot with the explicit value list: exactly the two-phase aggregate
+    (pre-agg on (priority,status), then pivotfirst on priority), each with
+    a map-side partial — and no third shuffle. (The values-DISCOVERY job a
+    list-less pivot() runs is eager and driver-side, so its absence is the
+    build-time property the explicit list buys.)"""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("pivot_orders_status")(spark, SF_SMOKE), mode="simple")
+    assert "pivotfirst" in plan and "partial_pivotfirst" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_docs_filter_pipeline_single_exchange(spark):
+    """Quality + langid fuse into the dedup window's single hash exchange
+    on md5(text). (spread()'s round-robin exchange is test-corpus-only —
+    a no-op at scale — so only hash exchanges count.)"""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_filter_pipeline")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
