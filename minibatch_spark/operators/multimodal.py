@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -136,3 +137,137 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.posexplode("features").alias("dim", "value"),
     ).withColumn("dim", F.col("dim").cast("int"))
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+RESIZE_MAX_SIDE = 64
+
+
+def _fake_resize(blob: bytes) -> tuple[int, int, int, int, str]:
+    """Resize plumbing with the codec stubbed: real aspect-ratio math on
+    the (fake-)decoded dims, and an md5 digest standing in for the resized
+    payload. Swap the digest line for PIL's ``img.resize((out_w, out_h))``
+    in prod — the Spark-side batch shape does not change."""
+    w, h, _ = _fake_decode(blob)
+    scale = RESIZE_MAX_SIDE / max(w, h)
+    out_w = max(1, int(w * scale))
+    out_h = max(1, int(h * scale))
+    digest = hashlib.md5(blob + b"|resized").hexdigest()
+    return w, h, out_w, out_h, digest
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(text || '|resized') AS rdigest,
+             32 + CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 224 AS w,
+             32 + CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) % 224 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(greatest(1, CAST(trunc(w * ({RESIZE_MAX_SIDE}.0 / greatest(w, h)))
+                AS INTEGER)) AS INTEGER) AS out_w,
+           CAST(greatest(1, CAST(trunc(h * ({RESIZE_MAX_SIDE}.0 / greatest(w, h)))
+                AS INTEGER)) AS INTEGER) AS out_h,
+           rdigest AS resized_digest
+    FROM h
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline stage (codec stubbed): mapInPandas batch over
+    binary blobs computing aspect-preserving target dims (max side 64) and
+    the resized-payload digest. Partition-preserving, shuffle-free — at
+    100 TB resize parallelism == upstream partition count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs = [_fake_resize(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [r[0] for r in rs],
+                    "height": [r[1] for r in rs],
+                    "out_w": [r[2] for r in rs],
+                    "out_h": [r[3] for r in rs],
+                    "resized_digest": [r[4] for r in rs],
+                }
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return blobs.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_MAX = 8
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, md5(text) AS hx,
+             8 + CAST(('0x' || substring(md5(text), 5, 2)) AS INTEGER) % 120
+               AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(f.f AS INTEGER) AS frame_idx,
+           md5(hx || ':' || CAST(f.f AS VARCHAR)) AS frame_digest
+    FROM v, LATERAL (
+      SELECT unnest(generate_series(0, n_frames - 1,
+                    CAST(ceil(n_frames / 8.0) AS INTEGER))) AS f
+    ) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (decoder stubbed): per blob, a fake
+    frame count (md5-derived), uniform stride sampling to at most 8
+    frames, one OUTPUT ROW PER SAMPLED FRAME with a per-frame digest
+    standing in for the frame bytes. The explode happens inside the
+    pandas batch (no Spark-side explode of a wide array), so the Arrow
+    transfer carries only sampled frames — at 100 TB of video that is the
+    difference between shipping 8 frames and shipping every frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, nfs, idxs, digs = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                hx = hashlib.md5(bytes(blob)).hexdigest()
+                n_frames = 8 + int(hx[4:6], 16) % 120
+                stride = math.ceil(n_frames / FRAME_SAMPLE_MAX)
+                for f in range(0, n_frames, stride):
+                    ids.append(int(doc_id))
+                    nfs.append(n_frames)
+                    idxs.append(f)
+                    digs.append(hashlib.md5(f"{hx}:{f}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_digest": digs,
+                }
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    schema = (
+        "doc_id long, n_frames int, frame_idx int, frame_digest string"
+    )
+    return blobs.mapInPandas(run, schema=schema)

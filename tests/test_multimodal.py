@@ -46,3 +46,45 @@ def test_decode_features_preserves_partitioning(spark):
     blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
     out = decode_features(blobs, "blob", "doc_id")
     assert out.rdd.getNumPartitions() == 7
+
+
+def test_resize_aspect_ratio_and_bounds(spark):
+    """Resized dims: max side == RESIZE_MAX_SIDE, aspect ratio preserved
+    within integer truncation, never zero."""
+    from minibatch_spark.operators.multimodal import RESIZE_MAX_SIDE
+    from minibatch_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_resize_stub"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # trunc(maxside * (M/maxside)) is M or M-1 (float product can land
+        # just below the integer)
+        assert RESIZE_MAX_SIDE - 1 <= max(r.out_w, r.out_h) <= RESIZE_MAX_SIDE
+        assert r.out_w >= 1 and r.out_h >= 1
+        # aspect preservation up to integer truncation: relative error of
+        # floor(w*s)/floor(h*s) vs w/h is bounded by ~1/min(out dims)
+        ratio, out_ratio = r.width / r.height, r.out_w / r.out_h
+        tol = 1.5 / min(r.out_w, r.out_h)
+        assert abs(out_ratio - ratio) / ratio <= tol
+
+
+def test_frame_sample_stride_coverage(spark):
+    """Per doc: at most FRAME_SAMPLE_MAX frames, always frame 0, uniform
+    stride, all indices < n_frames."""
+    import math
+    from collections import defaultdict
+
+    from minibatch_spark.operators.multimodal import FRAME_SAMPLE_MAX
+    from minibatch_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    assert per_doc
+    for doc, rs in per_doc.items():
+        n = rs[0].n_frames
+        idxs = sorted(r.frame_idx for r in rs)
+        stride = math.ceil(n / FRAME_SAMPLE_MAX)
+        assert idxs == list(range(0, n, stride))
+        assert len(idxs) <= FRAME_SAMPLE_MAX
