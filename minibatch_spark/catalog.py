@@ -129,3 +129,25 @@ class Catalog:
         """Register every table as a temp view for spark.sql access."""
         for name in TABLES:
             self[name].createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    location: str,
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-bucket sorted) by ``key`` as an
+    external table. Two tables bucketed the same way join WITHOUT an
+    exchange — the join is executor-local bucket-to-bucket, which at 100 TB
+    removes the dominant shuffle from every recurring fact-fact join on the
+    bucketing key (pinned by tests/test_plans.py::test_bucketed_join_no_shuffle).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", location)
+        .saveAsTable(table)
+    )

@@ -44,6 +44,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         text,
         windows,
     )

@@ -140,3 +140,36 @@ def test_docs_filter_pipeline_single_exchange(spark):
 
     plan = explain_str(_q("docs_filter_pipeline")(spark, SF_SMOKE), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key join with ZERO
+    exchanges — the co-located join strategy for recurring big joins."""
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.catalog import load_table, write_bucketed
+    from minibatch_spark.plans import explain_str
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    l = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, "b_orders", "o_orderkey", 8, str(tmp_path / "bo"))
+        write_bucketed(l, "b_lineitem", "o_orderkey", 8, str(tmp_path / "bl"))
+        # the sf0.001 tables are broadcast-sized, which would bypass the
+        # bucketed path entirely; disable broadcast to get the plan the
+        # fact-fact join has at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = explain_str(j, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
