@@ -381,3 +381,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "ann_topk_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact top-k: 5 nearest neighbors for EACH of 8 query
+    vectors in one corpus pass — the batch-inference shape (N queries
+    arrive together; scanning the corpus once per query would be N full
+    scans).
+
+    Plan: broadcast the query batch (tiny) against the corpus — a
+    BroadcastNestedLoopJoin producing corpus x 8 scored rows map-side, no
+    corpus shuffle — then per-query row_number with rk <= 5, which compiles
+    to WindowGroupLimit: each partition forwards at most 5 rows per query
+    to the single (8 x 5)-row shuffle. At 100 TB the corpus is read ONCE
+    and the wire carries only per-partition top-k candidates."""
+    from pyspark.sql import Window
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(as_double("embedding"), as_double("qe")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
