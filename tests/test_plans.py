@@ -173,3 +173,14 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_two_stage(spark):
+    """Salted aggregation: stage 1 groups on (key, salt), stage 2 on key —
+    two hash exchanges, each fed by a map-side partial aggregate."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("agg_salted_events")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_" in plan
+    assert "_salt" in plan
