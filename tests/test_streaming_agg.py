@@ -218,3 +218,35 @@ def test_stateful_count_window_invariant_and_restart(spark, tmp_path):
                       sink_dir=sink, query_name="stcw2")
     # restart resumes from state: carry [4] + new rows; 10 msgs => exactly 5 windows
     assert windows() == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate payload ids within the watermark horizon are suppressed
+    across micro-batches; state for expired keys is evicted (bounded)."""
+    import json
+
+    from minibatch_spark.streaming.aggregate import deduped_frame
+
+    s = _mk(tmp_path, name="sdedup")
+    ckpt = os.path.join(str(tmp_path), "ckpt-sdedup")
+    sink = os.path.join(str(tmp_path), "sink-sdedup")
+    s.append({"id": "a", "v": 1}, created=T0)
+    s.append({"id": "a", "v": 1}, created=T0 + timedelta(seconds=1))  # dup
+    s.append({"id": "b", "v": 2}, created=T0 + timedelta(seconds=2))
+    s.flush()
+    df = deduped_frame(s, spark, key_path="$.id", watermark="30 seconds")
+    run_available_now(df, ckpt, sink_dir=sink, query_name="sd1")
+
+    def ids():
+        return sorted(
+            json.loads(r.data)["id"] for r in spark.read.parquet(sink).collect()
+        )
+
+    assert ids() == ["a", "b"]
+
+    # replayed duplicate in a LATER micro-batch, still inside the horizon
+    s.append({"id": "a", "v": 1}, created=T0 + timedelta(seconds=3))
+    s.append({"id": "c", "v": 3}, created=T0 + timedelta(seconds=4))
+    s.flush()
+    run_available_now(df, ckpt, sink_dir=sink, query_name="sd2")
+    assert ids() == ["a", "b", "c"]
