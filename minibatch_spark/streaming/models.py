@@ -305,3 +305,56 @@ class Stream:
     def destroy(self) -> None:
         self._stopped.set()
         shutil.rmtree(self.stream_dir, ignore_errors=True)
+
+    def compact(self, target_rows: int = 1_000_000) -> int:
+        """Merge small buffer part-files into ~``target_rows`` files — the
+        SMALL-FILES maintenance a file-backed stream needs at scale (one
+        part per Batcher flush; a chatty producer makes thousands of tiny
+        files, and at 100 TB the file-listing + per-file open cost comes to
+        dominate every scan).
+
+        Driver-side pyarrow merge, no Spark job. Crash-safe and reader-safe
+        on this engine's consumers: the merged file lands first (atomic
+        rename, same name scheme carrying the ORIGINAL oldest write-ns so
+        TTL expiry semantics are unchanged), then the source files are
+        unlinked. A concurrent BATCH reader sees duplicated rows only in
+        the unlinked-halfway window; STREAMING consumers must be attached
+        AFTER compaction (file-source checkpoints track file names —
+        the same restriction the reference's TTL delete has for its
+        processed-flag scans, models.py:309-348). Returns #files removed.
+        """
+        with self._lock:
+            files = sorted(self._buffer_files())
+            if len(files) < 2:
+                return 0
+            groups, cur, cur_rows = [], [], 0
+            for f in files:
+                path = os.path.join(self.buffer_dir, f)
+                n = pq.read_metadata(path).num_rows
+                cur.append(f)
+                cur_rows += n
+                if cur_rows >= target_rows:
+                    groups.append(cur)
+                    cur, cur_rows = [], 0
+            if cur:
+                groups.append(cur)
+            removed = 0
+            for group in groups:
+                if len(group) < 2:
+                    continue
+                tables = [
+                    pq.read_table(os.path.join(self.buffer_dir, f), schema=ARROW_SCHEMA)
+                    for f in group
+                ]
+                merged = pa.concat_tables(tables)
+                # keep the oldest source ns-stamp: expiry judges file age
+                # by name, and the merged data is as old as its oldest row
+                oldest_ns = group[0].split("-")[1]
+                fname = f"part-{oldest_ns}-{uuid.uuid4().hex[:8]}.parquet"
+                tmp = os.path.join(self.stream_dir, f".{fname}.tmp")
+                pq.write_table(merged, tmp)
+                os.replace(tmp, os.path.join(self.buffer_dir, fname))
+                for f in group:
+                    os.unlink(os.path.join(self.buffer_dir, f))
+                    removed += 1
+            return removed

@@ -412,3 +412,27 @@ def test_typed_frame_schema_on_read(spark, tmp_path):
     rows = {r.user: r.v for r in df.collect()}
     assert rows == {"a": 1.5, "b": 2.5}
     assert dict(df.dtypes)["v"] == "double"
+
+
+def test_compact_merges_files_preserves_rows(spark, tmp_path):
+    """Small-files maintenance: 12 one-row part files compact to one file;
+    row set, order keys, and a subsequent CountWindow run are unchanged."""
+    s = _mk(tmp_path, name="compact")
+    for i in range(12):
+        s.append({"i": i})
+    s.flush()
+    assert len(s._buffer_files()) == 12
+    assert s.buffer_count() == 12
+    removed = s.compact()
+    assert removed == 12 and len(s._buffer_files()) == 1
+    assert s.buffer_count() == 12
+    rows = sorted(
+        (r.seq, r.data) for r in s.buffer(spark).collect()
+    )
+    assert len(rows) == 12
+
+    seen = []
+    em = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+                     size=4, name="compact-em", clean_source=False)
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
