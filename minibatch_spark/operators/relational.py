@@ -17,6 +17,7 @@ Determinism contract with the DuckDB oracle (driver CORRECTNESS gate):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1029,4 +1030,72 @@ def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("p50") >= F.col("vmin")) & (F.col("p50") <= F.col("vmax"))
         ).alias("pctl_within_bounds"),
+    )
+
+
+@query(
+    "scalar_math_events",
+    oracle="""
+    SELECT event_id,
+           ABS(value) AS abs_v,
+           ROUND(SQRT(ABS(value)), 6) AS sqrt_v,
+           ROUND(LN(1 + ABS(value)), 6) AS log1p_v,
+           ROUND(POW(value, 2), 6) AS sq_v,
+           CAST(FLOOR(value) AS BIGINT) AS floor_v,
+           CAST(CEIL(value) AS BIGINT) AS ceil_v,
+           ROUND(value, 1) AS round_v
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+)
+def scalar_math_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar-function surface (SURVEY §2.9): abs/sqrt/log/pow/floor/
+    ceil/round — all whole-stage-codegen JVM expressions; the modulo
+    filter reaches the scan as a pushed predicate."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.abs(v).alias("abs_v"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("sqrt_v"),
+        F.round(F.log1p(F.abs(v)), 6).alias("log1p_v"),
+        F.round(F.pow(v, 2), 6).alias("sq_v"),
+        F.floor(v).cast("long").alias("floor_v"),
+        F.ceil(v).cast("long").alias("ceil_v"),
+        F.round(v, 1).alias("round_v"),
+    )
+
+
+@query(
+    "agg_pandas_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(1 + ABS(value)))), 6) AS geo_mean_1p
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via a GROUPED_AGG pandas UDF (the UDAF surface,
+    SURVEY §2.11 — ABSENT in the reference): geometric mean of 1+|value|
+    per event type. Arrow ships each group's column to Python ONCE as a
+    vector (never per-row pickling); numpy reduces it. The reference's
+    only aggregation story is arbitrary Python over a whole window —
+    this is the same expressive power inside the engine's groupBy.
+
+    NOTE the scale trade: a pandas GROUPED_AGG has no map-side partial
+    aggregation — every raw row crosses the shuffle. For algebraic
+    aggregates prefer built-ins (here EXP(AVG(LN(x))) would fuse into
+    codegen); the UDAF form is for aggregations built-ins cannot express.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean1p(v: pd.Series) -> float:
+        return float(np.exp(np.log1p(np.abs(v)).mean()))
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(geomean1p("value"), 6).alias("geo_mean_1p")
     )

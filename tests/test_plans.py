@@ -184,3 +184,30 @@ def test_salted_agg_two_stage(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_" in plan
     assert "_salt" in plan
+
+
+def test_udtf_tokenize_lateral(spark):
+    """Python UDTF (U-surface, SURVEY §2.11): LATERAL table function over
+    documents matches the JVM-side split semantics used everywhere else."""
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, SF_SMOKE, "documents").limit(5).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.is_stopword
+        FROM udtf_docs d, LATERAL tokenize_doc(d.text) t
+        """
+    ).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in spark.table("udtf_docs").collect()}
+    for doc_id, toks in by_doc.items():
+        expected = docs[doc_id].split()
+        got = [t.token for t in sorted(toks, key=lambda t: t.pos)]
+        assert got == expected
