@@ -391,22 +391,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold t=0.8) via PREFIX
     FILTERING (Bayardo et al. All-Pairs / PPJoin candidate condition):
 
-    1. stage each doc's distinct shingle set (1 row per doc, durable);
-    2. global shingle order = (document frequency asc, shingle) — rarest
+    1. stage each doc's distinct shingle set, HASHED to 60-bit longs
+       (1 row per doc, durable). Everything downstream — posting lists,
+       df counts, the candidate self-join, the verify intersect — moves
+       8-byte keys instead of ~25-byte shingle strings: ~3x less shuffle
+       and long-vs-long comparisons. Hashing preserves the exact result
+       set unless two of a doc-pair's shingles 60-bit-collide (p ~ m^2 /
+       2^61; at trillion-shingle scale move to 128-bit, i.e. both md5
+       halves);
+    2. global shingle order = (document frequency asc, hash) — rarest
        first (df attach join + per-doc row_number; one map-side-combined
        count and one posting shuffle. An array-local sort was measured
        3x SLOWER: array_sort/transform comparators are interpreted
-       CodegenFallback per element);
+       CodegenFallback per element). ANY fixed total order satisfies the
+       prefix theorem, so ordering by hash instead of string changes
+       candidates but never the verified result;
     3. each doc exposes only its first |A| - ceil(t*|A|) + 1 shingles
        (~0.2*|A|) to the inverted-index self-join. EXACT: any pair with
        jaccard >= t has |A∩B| >= ceil(t*|A|), so its globally-smallest
        common shingle provably lands in BOTH prefixes;
-    4. verify candidates with array_intersect on the staged shingle sets.
+    4. verify candidates with array_intersect on the staged hash sets.
 
     This kills the hot-shingle quadratic blowup of the naive inverted-index
     join ("of the and" never enters a prefix unless it is among a doc's
     rarest 20%) while returning the identical result set — the oracle is
-    the naive all-pairs SQL and still hash-matches."""
+    the naive all-pairs SQL over the raw strings and still hash-matches."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -416,6 +425,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(d)
         .select("doc_id", tokens("text").alias("tk"))
         .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
+        .select(
+            # full 60-bit h64 (NOT the 31-bit mod-P shingle_hashes — at
+            # ~2k shingles/pair a 31-bit space collides ~1e-3 per pair)
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: h64(s)).alias("sh"),
+        )
         .withColumn("n", F.size("sh"))
         .filter(F.col("n") > 0),
         "ngram-sh",
