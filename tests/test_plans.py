@@ -211,3 +211,14 @@ def test_udtf_tokenize_lateral(spark):
         expected = docs[doc_id].split()
         got = [t.token for t in sorted(toks, key=lambda t: t.pos)]
         assert got == expected
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is scan-bound: every predicate reaches the parquet scan."""
+    from minibatch_spark.plans import pushed_filters, read_schema
+
+    df = _q("q6_forecast_revenue")(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_quantity" in pf
+    rs = read_schema(df)
+    assert "l_comment" not in rs and "l_returnflag" not in rs
