@@ -14,7 +14,7 @@ owning 1/N of it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minibatch_spark.catalog import load_table
