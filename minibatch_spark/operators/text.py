@@ -327,3 +327,245 @@ def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(canon).alias("is_canonical"),
         as_int(quality & is_en & canon).alias("keep"),
     )
+
+
+@query(
+    "text_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), items AS (
+      SELECT doc_id, 'tok' AS kind, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, 'bi' AS kind,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, kind, gram, COUNT(*) AS n
+      FROM items GROUP BY doc_id, kind, gram
+    ), per AS (
+      SELECT doc_id,
+        MAX(CASE WHEN kind = 'tok' THEN n END) AS top_tok,
+        SUM(CASE WHEN kind = 'tok' THEN n ELSE 0 END) AS n_tok,
+        MAX(CASE WHEN kind = 'bi' THEN n END) AS top_bi,
+        SUM(CASE WHEN kind = 'bi' THEN n ELSE 0 END) AS n_bi,
+        SUM(CASE WHEN kind = 'bi' THEN 1 ELSE 0 END) AS d_bi
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(CAST(top_tok AS DOUBLE) / n_tok, 6) AS top_token_frac,
+           ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac,
+           ROUND(1.0 - CAST(d_bi AS DOUBLE) / n_bi, 6) AS dup_bigram_frac,
+           CASE WHEN ROUND(CAST(top_tok AS DOUBLE) / n_tok, 6) <= 0.12
+                 AND ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6) <= 0.05
+                THEN 1 ELSE 0 END AS rep_ok
+    FROM per
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-token fraction,
+    most-frequent-bigram fraction, duplicate-bigram fraction, and a keep
+    flag at the thresholds (0.12 / 0.05) that split this corpus.
+
+    Plan shape: ONE explode of a tagged (kind, gram) union array per doc
+    — tokens and bigrams ride the same shuffle — then a two-level hash
+    agg, both levels keyed by doc_id so the second agg is shuffle-free
+    (partial agg + AQE coalesce handle the fan-in). The per-doc frequency
+    table is never materialized wider than (doc_id, kind, gram, n).
+    Deliberately NOT an array-HOF max-count (O(distinct x len) interpreted
+    per row, CodegenFallback): explode+agg stays in whole-stage codegen
+    and scales out, the per-row nested loop does neither."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    bigrams = F.filter(
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    tagged = F.concat(
+        F.transform(t, lambda x: F.struct(F.lit("tok").alias("kind"), x.alias("gram"))),
+        F.transform(
+            bigrams, lambda x: F.struct(F.lit("bi").alias("kind"), x.alias("gram"))
+        ),
+    )
+    items = staged.select("doc_id", F.explode(tagged).alias("kg")).select(
+        "doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram")
+    )
+    counts = items.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("n"))
+    tok_n = F.when(F.col("kind") == "tok", F.col("n"))
+    bi_n = F.when(F.col("kind") == "bi", F.col("n"))
+    per = counts.groupBy("doc_id").agg(
+        F.max(tok_n).alias("top_tok"),
+        F.sum(F.coalesce(tok_n, F.lit(0))).alias("n_tok"),
+        F.max(bi_n).alias("top_bi"),
+        F.sum(F.coalesce(bi_n, F.lit(0))).alias("n_bi"),
+        F.sum(F.when(F.col("kind") == "bi", 1).otherwise(0)).alias("d_bi"),
+    )
+    top_token_frac = F.round(F.col("top_tok").cast("double") / F.col("n_tok"), 6)
+    top_bigram_frac = F.round(F.col("top_bi").cast("double") / F.col("n_bi"), 6)
+    dup_bigram_frac = F.round(1.0 - F.col("d_bi").cast("double") / F.col("n_bi"), 6)
+    return per.select(
+        "doc_id",
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        F.when((top_token_frac <= 0.12) & (top_bigram_frac <= 0.05), 1)
+        .otherwise(0)
+        .alias("rep_ok"),
+    )
+
+
+# DuckDB replay of the dedup module's 3-gram shingle + md5-60bit hash
+# pipeline (same expressions as dedup._SHINGLE_SQL / dedup.h64) so the
+# decontamination join sees IDENTICAL keys — including identical hash
+# collisions — in both engines.
+_DECON_SH = """
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+                 i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS s
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+      )
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_DECON_SH}),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+    corp AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh
+      WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ),
+    ov AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM sh c JOIN bench b ON c.h = b.h
+      WHERE c.doc_id % 97 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT corp.doc_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / corp.n_sh, 6)
+             AS overlap_frac,
+           CASE WHEN ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                           / corp.n_sh, 6) >= 0.02
+                THEN 1 ELSE 0 END AS contaminated
+    FROM corp LEFT JOIN ov ON ov.doc_id = corp.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose 3-gram
+    shingles overlap a held-out benchmark set (here the deterministic
+    doc_id % 97 == 0 slice standing in for an eval suite).
+
+    Scale shape — the one that matters for real decontamination runs:
+    the benchmark shingle set is tiny and FIXED (eval suites are MBs;
+    the corpus is the 100 TB side), so it is collected into a BROADCAST
+    hash set and the corpus side streams through a broadcast semi-ish
+    join with NO shuffle of corpus data at all; the only exchange is the
+    per-doc overlap count (doc_id, n) agg. Shingles are md5-60-bit
+    hashed (dedup.h64) before the join — 8-byte keys, and the oracle
+    hashes identically so even hash collisions agree."""
+    from minibatch_spark.operators.dedup import h64, shingles_of
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
+        .select(
+            "doc_id", F.transform(F.col("sh"), lambda s: h64(s)).alias("hs")
+        )
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corp = sh.filter(~is_bench)
+    corp_docs = corp.select("doc_id", F.size("hs").alias("n_sh"))
+    ov = (
+        corp.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_sh"), 6
+    )
+    return (
+        corp_docs.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            F.when(frac >= 0.02, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "docs_sample_stratified",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.8
+                  WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+                  ELSE 0.25 END AS rate,
+             CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN bucket < rate * 10000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_frac
+    FROM rated
+    GROUP BY source
+    """,
+)
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: each source gets
+    a target rate; a document is kept iff md5(source:doc_id) mod 10000
+    falls under rate*10000. Hash-threshold sampling (not rand()) because a
+    training-data pipeline must be REPRODUCIBLE and restartable — the same
+    doc makes the same keep decision on every run, on every executor, with
+    no seed-plumbing through retries. Pure per-row column math + one tiny
+    agg; at 100 TB this is a single scan, and the same predicate drops
+    straight into any downstream query as a filter."""
+    from minibatch_spark.operators.dedup import h64
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 0.8)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 0.5)
+        .otherwise(0.25)
+    )
+    bucket = F.pmod(
+        h64(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    rated = d.select("doc_id", "source", rate.alias("rate"), bucket.alias("bucket"))
+    kept = F.when(F.col("bucket") < F.col("rate") * 10000, 1).otherwise(0)
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("kept_frac"),
+    )
