@@ -222,3 +222,51 @@ def test_q6_all_predicates_pushed(spark):
     assert "l_shipdate" in pf and "l_quantity" in pf
     rs = read_schema(df)
     assert "l_comment" not in rs and "l_returnflag" not in rs
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must run as one LEFT SEMI hash/merge join —
+    never a per-row subquery or nested loop over lineitem."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q4_late_orders")(spark, SF_SMOKE), mode="simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q17_single_agg_no_duplicate_scan_per_row(spark):
+    """Scalar correlated subquery decorrelated: exactly one per-part
+    aggregate feeding an equi join (no correlated re-execution)."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q17_small_qty_revenue")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("HashAggregate") >= 2  # partial+final of per-part agg
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    """Uncorrelated scalar threshold = 1-row broadcast; NOT EXISTS =
+    LEFT ANTI join on the date-pruned orders side."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q22_dormant_value")(spark, SF_SMOKE), mode="simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q18_top20_take_ordered(spark):
+    """Final top-20 must be TakeOrderedAndProject, not a global sort."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("q18_big_orders")(spark, SF_SMOKE)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert "Sort [" not in explain_str(df).replace("TakeOrderedAndProject", "")
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must broadcast (corpus side never
+    shuffles for the overlap join)."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("text_decontaminate")(spark, SF_SMOKE), mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
