@@ -270,3 +270,24 @@ def test_decontaminate_broadcasts_benchmark_set(spark):
 
     plan = explain_str(_q("text_decontaminate")(spark, SF_SMOKE), mode="simple")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_salted_join_spreads_and_matches_plain_join(spark):
+    """Salting must appear in the plan (explode of the salt sequence,
+    join keyed on the salt) and be invisible in the result."""
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.skew import salted_join
+    from minibatch_spark.plans import explain_str
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    dim = e.groupBy("event_type").count()
+    salted = salted_join(e, dim, "event_type")
+    plan = explain_str(salted, mode="simple")
+    assert "explode" in plan.lower()
+    assert "_salt" in plan
+    plain = e.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("event_id", "count").collect()}
+    b = {tuple(r) for r in plain.select("event_id", "count").collect()}
+    assert a == b
