@@ -438,3 +438,60 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(e, x -> abs(x))) AS qscale,
+             e
+      FROM v
+    )
+    SELECT vec_id, label,
+           ROUND(qscale, 6) AS qscale,
+           CAST(list_sum(list_transform(e, x -> floor(x * 127.0 / qscale + 0.5)))
+                AS BIGINT) AS code_sum,
+           CAST(list_min(list_transform(e, x -> floor(x * 127.0 / qscale + 0.5)))
+                AS BIGINT) AS code_min,
+           CAST(list_max(list_transform(e, x -> floor(x * 127.0 / qscale + 0.5)))
+                AS BIGINT) AS code_max
+    FROM scaled
+    WHERE qscale > 0
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    memory/bandwidth reduction every at-scale ANN index applies before
+    building (scale = max|x|, code = floor(x*127/scale + 0.5)).
+
+    Codes are pure per-row column math (no shuffle, no UDF); the output
+    surfaces the scale plus code-sum/min/max digests instead of the
+    array itself (driver canonicalizer rejects array columns). Exactness
+    across engines is integer-hard: x*127/scale and the +0.5 floor are
+    the same IEEE doubles in Spark and DuckDB, so every code — and
+    their sum — matches bit-for-bit, no rounding contract needed.
+    Cites reference scope: the reference has no vector ops at all
+    (SURVEY §2.12 — north-star addition)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = as_double("embedding")
+    staged = e.select("vec_id", "label", v.alias("e")).withColumn(
+        "qscale", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    ).filter(F.col("qscale") > 0)
+    codes = F.transform(
+        F.col("e"), lambda x: F.floor(x * 127.0 / F.col("qscale") + 0.5)
+    )
+    staged = staged.withColumn("codes", codes)
+    return staged.select(
+        "vec_id",
+        "label",
+        F.round("qscale", 6).alias("qscale"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+    )

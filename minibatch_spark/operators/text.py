@@ -569,3 +569,58 @@ def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).cast("long").alias("n_kept"),
         F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("kept_frac"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(log2(CAST(c.cnt AS DOUBLE) / CAST(tot.n_total AS DOUBLE)))
+                 / COUNT(*), 6) AS avg_nll,
+           CASE WHEN ROUND(-SUM(log2(CAST(c.cnt AS DOUBLE)
+                                     / CAST(tot.n_total AS DOUBLE)))
+                           / COUNT(*), 6) <= 5.0
+                THEN 1 ELSE 0 END AS lm_ok
+    FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log2-probability under the corpus's own unigram model
+    (the cheap stand-in for a KenLM perplexity filter — the pipeline
+    shape is identical, only the scoring table changes).
+
+    Two passes, both linear: (1) corpus unigram counts — map-side
+    partial agg, vocabulary-sized result; (2) exploded tokens join the
+    count table (vocabulary ≪ corpus, so AQE turns this into a
+    broadcast at any realistic vocab size; a 10M-type vocab is ~160 MB
+    — still executor-resident) and re-aggregate per doc. The corpus
+    total is a 1-row broadcast. At 100 TB a real LM table replaces
+    `cnt` and NOTHING else changes — that is the point of the shape."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("n_total"))
+    nll = -F.sum(
+        F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    ) / F.count(F.lit(1))
+    return (
+        tok.join(cnt, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(nll, 6).alias("avg_nll"),
+            F.when(F.round(nll, 6) <= 5.0, 1).otherwise(0).alias("lm_ok"),
+        )
+    )
