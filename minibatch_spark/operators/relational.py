@@ -1376,3 +1376,76 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type AS last_type, ts AS last_ts, value AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey BETWEEN 50 AND 299
+    )
+    SELECT COALESCE(b.c_custkey, l.user_id) AS key,
+           b.c_name AS name,
+           b.c_acctbal AS acctbal,
+           l.last_type, l.last_ts, l.last_value,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN l.user_id IS NULL THEN 'unchanged'
+                ELSE 'update' END AS op
+    FROM base b FULL OUTER JOIN latest l ON l.user_id = b.c_custkey
+    """,
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE: collapse a change stream to its latest record
+    per key (the compaction every CDC consumer does before applying) and
+    full-outer-merge it onto a snapshot, classifying every output row as
+    insert / update / unchanged.
+
+    This is the batch half of the engine's Mongo CDC sources (SURVEY
+    §2.1 S5/S6 stream *capture*; the reference never applies changes to
+    anything — it has no join). Plan: latest-per-key is row_number with
+    a WindowGroupLimit (only rank-1 rows survive the per-partition
+    sort); the merge is ONE full outer join shuffled on the key. On a
+    real lakehouse this writes back partition-overwrite or Delta MERGE;
+    the classification column is exactly the audit trail those writers
+    keep. Snapshot restricted to keys 50-299 so all three op classes
+    are non-vacuous at sf0.01 (insert=keys<50, unchanged=keys>=150)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").between(50, 299))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    m = base.join(latest, latest.user_id == base.c_custkey, "full_outer")
+    return m.select(
+        F.coalesce("c_custkey", "user_id").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        "last_type",
+        "last_ts",
+        "last_value",
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("user_id").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("op"),
+    )

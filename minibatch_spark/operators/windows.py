@@ -187,3 +187,91 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value FROM events
+      WHERE value > 250
+    ), daily AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6))
+                  AS DOUBLE) AS sum_v
+      FROM f GROUP BY event_type, day
+    ), bounds AS (
+      SELECT date_trunc('day', MIN(day)) AS lo, date_trunc('day', MAX(day)) AS hi
+      FROM daily
+    ), spine AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM f) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+      ) d
+    ), joined AS (
+      SELECT s.event_type, s.day, daily.n, daily.sum_v,
+             COUNT(daily.n) OVER (PARTITION BY s.event_type ORDER BY s.day) AS grp
+      FROM spine s LEFT JOIN daily
+        ON daily.event_type = s.event_type AND daily.day = s.day
+    )
+    SELECT event_type, day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(MAX(sum_v / n) OVER (PARTITION BY event_type, grp), 6)
+             AS ffill_avg
+    FROM joined
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill + forward fill (ABSENT in the
+    reference — its windows only group what arrived): sparse daily
+    aggregates (rare events, value > 250 — 54 of 150 day-slots filled at
+    sf0.01) are re-sampled onto a complete day spine; missing days get
+    count 0 and carry the last observed daily average forward.
+
+    The spine is sequence()-generated from a 1-row bounds aggregate
+    crossed with the distinct keys — the same spine construction the
+    FixedTimeWindow empty-window shim uses (streaming/window.py), here as
+    a batch operator. Forward fill is the portable two-window trick:
+    a running COUNT of non-null observations partitions each series into
+    carry groups, then one MAX per (key, group) — both windows shuffle
+    on the SAME key (event_type), so one exchange serves all. Days
+    before a series' first observation stay NULL by design (nothing to
+    carry). At 100 TB the spine is |keys| x |days| — output-sized, never
+    corpus-sized; the corpus is touched once by the daily agg."""
+    from pyspark.sql import Window
+
+    f = load_table(spark, sf_dir, "events").filter(F.col("value") > 250)
+    f = f.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    daily = f.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dmoney("value")).alias("sum_v"),
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    types = f.select("event_type").distinct()
+    spine = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "day"], "left")
+    w_run = Window.partitionBy("event_type").orderBy("day")
+    j = j.withColumn("grp", F.count("n").over(w_run))
+    w_grp = Window.partitionBy("event_type", "grp")
+    return j.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.max(F.col("sum_v") / F.col("n")).over(w_grp), 6
+        ).alias("ffill_avg"),
+    )
