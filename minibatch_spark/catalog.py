@@ -151,3 +151,22 @@ def write_bucketed(
         .option("path", location)
         .saveAsTable(table)
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    location: str,
+    *partition_cols: str,
+) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_cols`` (the SURVEY
+    §1.3 physical layout: buffer tables partitioned by stream and/or
+    date of `created` replace MongoDB's B-tree indexes). A predicate on
+    a partition column never touches non-matching files — the scan's
+    PartitionFilters prune whole directories at planning time, which at
+    100 TB is the difference between reading one day and reading seven
+    years (pinned by tests/test_plans.py::test_partitioned_scan_prunes).
+
+    Choose LOW-cardinality columns (stream name, date — not raw
+    timestamps): each distinct value is a directory, and millions of
+    tiny partitions destroy both the file system and the planner."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(location)

@@ -291,3 +291,27 @@ def test_salted_join_spreads_and_matches_plain_join(spark):
     a = {tuple(r) for r in salted.select("event_id", "count").collect()}
     b = {tuple(r) for r in plain.select("event_id", "count").collect()}
     assert a == b
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data-level PushedFilter — and the pruned
+    read must return exactly the matching rows."""
+    from minibatch_spark.catalog import load_table, write_partitioned
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    loc = str(tmp_path / "events_by_day")
+    write_partitioned(e, loc, "day")
+    back = spark.read.parquet(loc)
+    one_day = back.filter(F.col("day") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate appears in PartitionFilters, and the data
+    # filter list stays free of it
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "day" in pf
+    expected = e.filter(F.to_date("ts") == "2024-01-02").count()
+    assert expected > 0 and one_day.count() == expected
