@@ -250,3 +250,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     s.flush()
     run_available_now(df, ckpt, sink_dir=sink, query_name="sd2")
     assert ids() == ["a", "b", "c"]
+
+
+def test_metrics_listener_counts_watermark_drops(spark, tmp_path):
+    """W11 observability: the MetricsListener must report the engine's
+    numRowsDroppedByWatermark for a genuinely-late row, plus input-row
+    and batch counters — the alarm hook the reference's silent late-data
+    loss lacks (ref window.py:269-278)."""
+    from minibatch_spark.streaming import metrics
+
+    s = _mk(tmp_path, name="obs")
+    ckpt = os.path.join(str(tmp_path), "ckpt-obs")
+    sink = os.path.join(str(tmp_path), "sink-obs")
+    listener = metrics.attach(spark)
+    try:
+        s.append({"v": 1.0}, created=T0 + timedelta(seconds=5))
+        s.append({"v": 2.0}, created=T0 + timedelta(seconds=65))
+        s.flush()
+        q1 = run_available_now(
+            windowed_frame(s, spark, 30), ckpt, sink_dir=sink, query_name="m1"
+        )
+        m1 = listener.wait_for_progress(q1.runId, min_batches=1)
+        assert m1["input_rows"] == 2
+        assert m1["dropped_by_watermark"] == 0
+        assert m1["total_batch_ms"] > 0
+
+        # late row below the watermark (t0+55) -> engine drops it
+        s.append({"v": 99.0}, created=T0 + timedelta(seconds=10))
+        s.flush()
+        q2 = run_available_now(
+            windowed_frame(s, spark, 30), ckpt, sink_dir=sink, query_name="m2"
+        )
+        m2 = listener.wait_for_progress(q2.runId, min_batches=1)
+        assert m2["input_rows"] == 1
+        assert m2["dropped_by_watermark"] == 1
+    finally:
+        metrics.detach(spark, listener)
