@@ -66,6 +66,40 @@ def shingles(col: str | Column, k: int = SHINGLE_K) -> Column:
     return shingles_of(tokens(col), k)
 
 
+# One staged shingle table per (session, sf_dir) per process: tokenizing and
+# shingling the corpus is the single most expensive per-row computation in
+# the dedup family, and FOUR pipelines consume the identical artifact
+# (ngram-jaccard, both minhash variants, decontamination). A production run
+# materializes this table once and fans out; the memo gives the same economy
+# to a process that runs several pipelines (driver correctness loop, bench).
+_SHINGLE_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staged corpus asset: (doc_id, text_hash, sh array<string>, n)
+    for every document with at least one 3-gram (n > 0 ⟺ >= 3 tokens).
+    ``text_hash`` = md5(text) rides along so exact-dup collapse downstream
+    needs no second pass over the raw text."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLE_TABLE_CACHE.get(key)
+    if df is None:
+        d = spread(load_table(spark, sf_dir, "documents"))
+        built = (
+            d.select(
+                "doc_id", F.md5("text").alias("text_hash"), tokens("text").alias("tk")
+            )
+            .select("doc_id", "text_hash", shingles_of(F.col("tk")).alias("sh"))
+            .withColumn("n", F.size("sh"))
+            .filter(F.col("n") > 0)
+        )
+        tag = _os.path.basename(_os.path.normpath(sf_dir))
+        df = stage(built, f"shingle-table-{tag}")
+        _SHINGLE_TABLE_CACHE[key] = df
+    return df
+
+
 def h64(c: Column) -> Column:
     """Deterministic 60-bit hash reproducible in DuckDB:
     first 15 hex chars of md5 -> bigint."""
@@ -163,11 +197,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 permutations over 3-gram shingles), one row per
     document, columns mh0..mh15. Fully deterministic and engine-independent
     (md5-derived), so the oracle reproduces every signature value."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    # staged projections: tokens then shingles materialize once per row;
-    # the 16 per-seed transforms read cheap attribute references
-    tk_df = d.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 3)
-    sh_df = tk_df.select("doc_id", shingles_of(F.col("tk")).alias("sh"))
+    # the shared staged shingle table (one tokenize+shingle pass per
+    # process); the 16 per-seed transforms read cheap attribute references
+    sh_df = shingle_table(spark, sf_dir).select("doc_id", "sh")
     sig_df = sh_df.select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
     return sig_df.select(
         "doc_id",
@@ -291,13 +323,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint — executor loss at cluster scale cannot drop blocks of
     the self-join's build side.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
-    reps = d.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    # exact-dup collapse straight off the shared shingle table: identical
+    # text ⇒ identical shingle set, so the rep keeps min_by(sh, doc_id)
+    # (deterministic: doc_id unique) and the raw text is never re-read
+    st = shingle_table(spark, sf_dir)
+    reps = st.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("sh", "doc_id").alias("sh")
     )
-    tk_df = reps.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 3)
-    sh_df = tk_df.select("doc_id", shingles_of(F.col("tk")).alias("sh"))
-    h_df = sh_df.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+    h_df = reps.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
     sig_df = stage(
         h_df.select("doc_id", fast_minhash_sig(F.col("hs")).alias("sig")),
         "minhash-sig",
@@ -426,24 +459,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive all-pairs SQL over the raw strings and still hash-matches."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    # spread BEFORE the shingle projection: the single-split test corpus
-    # would otherwise single-task the entire tokenize+shingle compute
-    sh_arr = stage(
-        spread(d)
-        .select("doc_id", tokens("text").alias("tk"))
-        .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
-        .select(
-            # full-width xxhash64 (NOT the 31-bit mod-P shingle_hashes —
-            # at ~2k shingles/pair a 31-bit space collides ~1e-3/pair;
-            # and not md5-h64: these hashes never surface in output, so
-            # oracle parity doesn't constrain the hash choice here)
-            "doc_id",
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-        .withColumn("n", F.size("sh"))
-        .filter(F.col("n") > 0),
-        "ngram-sh",
+    # shared staged shingle table + a cheap hashed view on top: every
+    # downstream read re-derives the xxhash64 arrays from the staged
+    # strings (JVM-native, negligible vs a second stage write). Full-width
+    # xxhash64, NOT the 31-bit mod-P shingle_hashes — at ~2k shingles/pair
+    # a 31-bit space collides ~1e-3/pair; and not md5-h64: these hashes
+    # never surface in output, so oracle parity doesn't constrain them.
+    sh_arr = shingle_table(spark, sf_dir).select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        "n",
     )
     posting = sh_arr.select("doc_id", "n", F.explode("sh").alias("sh1"))
     ranked = posting.withColumn(

@@ -480,16 +480,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc overlap count (doc_id, n) agg. Shingles are md5-60-bit
     hashed (dedup.h64) before the join — 8-byte keys, and the oracle
     hashes identically so even hash collisions agree."""
-    from minibatch_spark.operators.dedup import h64, shingles_of
+    from minibatch_spark.operators.dedup import h64, shingle_table
 
-    d = spread(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.select("doc_id", tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
-        .select(
-            "doc_id", F.transform(F.col("sh"), lambda s: h64(s)).alias("hs")
-        )
+    # shared staged shingle asset (one tokenize+shingle pass per process,
+    # see dedup.shingle_table) with the oracle-replayable md5-60bit hash
+    # derived on read
+    sh = shingle_table(spark, sf_dir).select(
+        "doc_id", F.transform(F.col("sh"), lambda s: h64(s)).alias("hs")
     )
     is_bench = F.col("doc_id") % 97 == 0
     bench = (

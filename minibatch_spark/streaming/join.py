@@ -71,3 +71,39 @@ def joined_frame(
         "r_data",
         (F.unix_millis("r_created") - F.unix_millis("l_created")).alias("lag_ms"),
     )
+
+
+def enriched_frame(
+    stream: Stream,
+    spark,
+    dim: DataFrame,
+    key_path: str = "$.k",
+    dim_key: str = "key",
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every streaming row picks up the
+    matching columns of a batch dimension table — the single most common
+    production join shape (events x user table, clicks x campaign dim),
+    and unreachable in the reference (no joins at all, SURVEY §2.4).
+
+    The static side needs no watermark and holds NO stream state: Spark
+    re-plans the dim per micro-batch (so a refreshed dim parquet is
+    picked up on the next trigger — slowly-changing dimensions for
+    free). ``broadcast_dim=True`` pins the broadcast the planner would
+    pick anyway for any dim that fits — the stream side then never
+    shuffles, which is the difference between per-batch latency bound by
+    the dim size and by the BATCH size at 100 TB/day."""
+    src = (
+        spark.readStream.schema(SPARK_DDL)
+        .parquet(stream.buffer_dir)
+        .select(
+            F.get_json_object("data", key_path).alias("key"),
+            F.col("created"),
+            F.col("data"),
+        )
+    )
+    d = dim.withColumnRenamed(dim_key, "key") if dim_key != "key" else dim
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return src.join(d, "key", how)

@@ -286,3 +286,39 @@ def test_metrics_listener_counts_watermark_drops(spark, tmp_path):
         assert m2["dropped_by_watermark"] == 1
     finally:
         metrics.detach(spark, listener)
+
+
+def test_stream_static_enrichment_broadcast(spark, tmp_path):
+    """Stream-static join: streaming rows enriched from a batch dim, dim
+    side broadcast (no stream-side shuffle, no state store)."""
+    from minibatch_spark.streaming.join import enriched_frame
+
+    s = _mk(tmp_path, name="enrich")
+    for i, k in enumerate(["a", "b", "a", "c"]):
+        s.append({"k": k, "i": i}, created=T0 + timedelta(seconds=i))
+    s.flush()
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "key string, label string"
+    )
+    out_rows = []
+    q = (
+        enriched_frame(s, spark, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt-enrich")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.key, json.loads(r.data)["i"]): r.label
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {
+        ("a", 0): "alpha",
+        ("b", 1): "beta",
+        ("a", 2): "alpha",
+        ("c", 3): None,  # left join keeps unmatched stream rows
+    }
