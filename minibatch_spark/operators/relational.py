@@ -1449,3 +1449,56 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6))
+               AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of per-branch conjunctions spanning BOTH
+    join sides — the classic disjunctive-predicate planning test.
+
+    What the plan must do (and Catalyst does, pinned in test_plans.py):
+    derive the per-side implications of the disjunction and push them
+    BELOW the join — part scans only the three brands (an In() pushed
+    filter), lineitem scans only quantity 1..35 — while the full
+    cross-side disjunction evaluates after the join. Without that
+    derivation the join touches every row of both tables and the
+    predicate becomes a post-join filter only; at 100 TB that is the
+    whole query cost. The filtered part side is small -> broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = lambda brand, slo, shi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(slo, shi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = (
+        branch("Brand#12", 1, 15, 1, 11)
+        | branch("Brand#23", 10, 30, 10, 20)
+        | branch("Brand#34", 20, 50, 20, 35)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            dsum(dmoney("l_extendedprice") * (1 - drate("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -315,3 +315,19 @@ def test_partitioned_scan_prunes(spark, tmp_path):
     assert "day" in pf
     expected = e.filter(F.to_date("ts") == "2024-01-02").count()
     assert expected > 0 and one_day.count() == expected
+
+
+def test_q19_disjunction_pushes_per_side_implications(spark):
+    """Catalyst must derive per-side filters from the OR-of-ANDs and push
+    them below the join: part scans only the three brands, lineitem only
+    the union quantity range."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q19_disjunctive_revenue")(spark, SF_SMOKE))
+    assert "Brand#12" in plan
+    # per-side implication reached the part scan as a pushed In/Or filter
+    scan_part = [s for s in plan.split("Scan parquet") if "p_brand" in s]
+    assert any(
+        "PushedFilters" in s and "Brand#" in s.split("PushedFilters")[1][:400]
+        for s in scan_part
+    )
