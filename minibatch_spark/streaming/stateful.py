@@ -80,3 +80,82 @@ def stateful_count_window(stream: Stream, spark, size: int) -> "DataFrame":
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _CountWindowProcessor:
+    """``StatefulProcessor`` emitting exactly-``size`` windows per key —
+    the transformWithState (Spark 4 arbitrary-state API) form of
+    ``stateful_count_window``. Same contract, richer state model: the
+    remainder and the window ordinal live in named, typed state variables
+    (``getValueState``) instead of one packed tuple, and the API adds
+    timers/TTL hooks (unused here) that the old API lacks.
+    """
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def init(self, handle) -> None:
+        self._pending = handle.getValueState("pending", "rows string")
+        self._next = handle.getValueState("next_window", "w long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._pending.get()
+        buf = json.loads(got[0]) if got and got[0] else []
+        nxt = self._next.get()
+        next_window = nxt[0] if nxt else 0
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["created", "seq"])
+            buf.extend(batch["data"].tolist())
+        out = []
+        while len(buf) >= self.size:
+            window, buf = buf[: self.size], buf[self.size :]
+            out.append((key[0], next_window, len(window), json.dumps(window)))
+            next_window += 1
+        self._pending.update((json.dumps(buf),))
+        self._next.update((next_window,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["stream", "window_id", "n", "data_json"]
+            )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
+    """``stateful_count_window`` on the transformWithStateInPandas API —
+    Spark 4's arbitrary-state operator (the successor to
+    applyInPandasWithState). Identical window semantics; kept alongside
+    the old-API version so both state backends are exercised.
+
+    Runtime requirements beyond the old API (why the test may skip):
+    - RocksDB state store (``spark.sql.streaming.stateStore.providerClass
+      = ...state.RocksDBStateStoreProvider``) — TWS does not run on the
+      default HDFS-backed provider;
+    - a working ``google.protobuf`` (the Python state server speaks
+      protobuf to the JVM); this container ships a broken protobuf, so
+      tests/test_streaming_agg.py gates on importing it."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so the module imports even on Spark builds
+    # without the TWS API (the function then fails at call time, not
+    # import time); mixin FIRST so its concrete methods win the MRO over
+    # StatefulProcessor's abstract ones
+    proc_cls = type(
+        "_CountWindowTWS", (_CountWindowProcessor, StatefulProcessor), {}
+    )
+    proc = proc_cls(size)
+    src = spark.readStream.schema(SPARK_DDL).parquet(stream.buffer_dir)
+    return src.groupBy("stream").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_DDL,
+        outputMode="append",
+        timeMode="none",
+    )
