@@ -1502,3 +1502,88 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "set_bag_ops",
+    oracle="""
+    WITH a AS (SELECT user_id, event_type FROM events
+               WHERE ts < TIMESTAMP '2024-01-10'),
+         b AS (SELECT user_id, event_type FROM events
+               WHERE ts >= TIMESTAMP '2024-01-05')
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        AS n_union_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        AS n_intersect_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        AS n_except_all
+    """,
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — the ALL variants SURVEY §2.8 lists
+    alongside the distinct ones: UNION ALL keeps every duplicate,
+    INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    multiplicities. Exercised on overlapping half-month projections of
+    events where duplicates are heavy (2975 rows of multiplicity overlap
+    at sf0.01, EXCEPT ALL leaves 2 — all three non-vacuous).
+
+    Plan: intersectAll/exceptAll compile to Catalyst's count-and-replicate
+    rewrite (aggregate multiplicities per side, join, generate) — a
+    fixed two-shuffle shape, never a row-by-row comparison. The three
+    counts are 1-row aggregates crossed into one output row."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = e.filter(F.col("ts") < _ts("2024-01-10")).drop("ts")
+    b = e.filter(F.col("ts") >= _ts("2024-01-05")).drop("ts")
+    ua = a.unionAll(b).agg(F.count(F.lit(1)).alias("n_union_all"))
+    ia = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    ea = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except_all"))
+    return ua.join(F.broadcast(ia)).join(F.broadcast(ea))
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER) % 7, 3)
+               AS key, ts
+      FROM events
+    ),
+    a AS (SELECT key, COUNT(*) AS n_a FROM keyed
+          WHERE ts < TIMESTAMP '2024-01-15' GROUP BY key),
+    b AS (SELECT key, COUNT(*) AS n_b FROM keyed
+          WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY key)
+    SELECT a.key, a.n_a, b.n_b
+    FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics SQL equality
+    joins silently drop, and a real trap when a join key is derived
+    (here NULLIF carves a NULL class out of a JSON-extracted key).
+
+    Both sides pre-aggregate to per-key counts BEFORE the join, so the
+    null-safe comparison runs on |keys| rows, not |events|² pairs — the
+    only sane shape when a hot NULL class exists (an unaggregated
+    null-safe join would cross-join the NULL rows of both sides). The
+    oracle row for key NULL proves the NULL-matches-NULL semantics."""
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+        ).alias("key"),
+        "ts",
+    )
+    a = (
+        keyed.filter(F.col("ts") < _ts("2024-01-15"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        keyed.filter(F.col("ts") >= _ts("2024-01-15"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["key"].eqNullSafe(b["key"])).select(
+        a["key"].alias("key"), "n_a", "n_b"
+    )
