@@ -1,0 +1,42 @@
+"""Training-data curation walkthrough: the LLM-pipeline operators composed
+the way a data run uses them — quality gates, dedup decisions,
+benchmark decontamination, stratified sampling — over the test corpus.
+
+Run:  python examples/curation_pipeline.py  [SF_DIR=/root/testdata/sf0.001]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from minibatch_spark.registry import all_queries  # noqa: E402
+from minibatch_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark()
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    q = all_queries()
+
+    decisions = q["docs_filter_pipeline"](spark, sf)   # quality ∘ langid ∘ dedup
+    contam = q["text_decontaminate"](spark, sf)        # benchmark n-gram overlap
+    sample = q["docs_sample_stratified"](spark, sf)    # per-source mixing rates
+
+    kept = (
+        decisions.filter(F.col("keep") == 1)
+        .join(contam.filter(F.col("contaminated") == 0), "doc_id", "left_semi")
+    )
+    n_docs = decisions.count()
+    print(f"corpus: {n_docs} docs")
+    print(f"pass quality+lang+dedup: {decisions.filter('keep = 1').count()}")
+    print(f"...and not benchmark-contaminated: {kept.count()}")
+    print("per-source sampling rates:")
+    for r in sample.orderBy("source").collect()[:5]:
+        print(f"  {r.source}: kept {r.n_kept}/{r.n_total} ({r.kept_frac})")
+
+
+if __name__ == "__main__":
+    main()
