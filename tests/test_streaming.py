@@ -436,3 +436,26 @@ def test_compact_merges_files_preserves_rows(spark, tmp_path):
                      size=4, name="compact-em", clean_source=False)
     em.run(spark, available_now=True)
     assert seen == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+
+
+def test_as_dataframe_scale_path_no_driver_collect(spark, tmp_path):
+    """as_dataframe=True (the documented scale path, untested in round 1):
+    the emit fn receives each micro-batch as a live DataFrame — no
+    driver-side row materialization, no strategy split — and can run
+    distributed aggregations on it."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    s = _mk(tmp_path, name="scale")
+    for i in range(8):
+        s.append({"i": i})
+    got = {}
+
+    def emitfn(batch_df, batch_id):
+        assert isinstance(batch_df, SparkDataFrame)
+        # distributed agg on the batch — the pattern a 100 TB emit uses
+        n = batch_df.count()
+        got.setdefault("batches", []).append((batch_id, n))
+
+    em = CountWindow(s, emitfn=emitfn, size=2, as_dataframe=True)
+    em.run(spark, available_now=True)
+    assert sum(n for _, n in got["batches"]) == 8  # every message exactly once
