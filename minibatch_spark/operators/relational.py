@@ -1587,3 +1587,215 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["key"].eqNullSafe(b["key"])).select(
         a["key"].alias("key"), "n_a", "n_b"
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6))
+                AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+
+    The cross-side OR ((n1=A and n2=B) or (n1=B and n2=A)) cannot be
+    pushed below the joins by itself, so each nation dim is pre-filtered
+    to the implied per-side superset n_name IN (A, B) — the same
+    implication-push technique as q19. The 25-row nation table broadcasts
+    into supplier and customer FIRST, shrinking each to the 2-of-25
+    nations that can participate BEFORE any fact touches them. The pruned
+    dims then join the facts WITHOUT a forced broadcast hint: a
+    nation-pruned customer is still |customers|*2/25 rows — far past any
+    broadcast threshold at 100 TB — so AQE must keep the choice
+    (broadcast at small SF, shuffle join on the uniform supp/cust keys at
+    scale; a hardcoded F.broadcast here would OOM the driver at scale).
+    The residual OR runs post-join on the two tiny n_name columns."""
+    both = ["NATION_1", "NATION_2"]
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(both))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(both))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    cross_pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = dsum(dmoney("l_extendedprice") * (1 - drate("l_discount"))).alias("revenue")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(cross_pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(rev)
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (the part an inner join would lose).
+
+    The non-join predicate on orders lives IN the left-outer join
+    condition (not a WHERE, which would turn the join inner) and prunes
+    the orders scan. One shuffle co-partitions both sides on custkey; the
+    per-customer COUNT reuses that partitioning (no second exchange for
+    the first agg); the second agg shuffles only |distinct counts| groups
+    after map-side partial aggregation. COUNT(o_orderkey) — not
+    COUNT(*) — makes unmatched customers count 0."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("o_custkey") == F.col("c_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(7,4)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(20,6)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6)) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts in one month.
+
+    Conditional aggregation (SUM(CASE WHEN ...)) computes both the
+    numerator and the denominator in ONE pass over the joined rows — no
+    second scan, no self-join. The month filter is pushed to the lineitem
+    scan; the part join carries NO broadcast hint: column pruning keeps
+    the build side two columns wide (partkey+p_type), so AQE broadcasts
+    it while it fits and falls back to a shuffle join on the uniform
+    partkey once part outgrows the threshold (part scales with SF — a
+    forced hint would OOM the driver at 100 TB). Both engines compute
+    (100.0 * promo) / total in the same IEEE order, and the decimal
+    staging keeps both sums bit-identical — so the final double ratio is
+    bit-identical too (single row, non-vacuous)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast(DEC_MONEY)
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an uncorrelated scalar subquery over a derived view, kept as a
+    1-row broadcast join (the same decorrelation as q22, here over an
+    aggregate of an aggregate).
+
+    The revenue view aggregates the quarter's lineitems per supplier
+    (pushed date filter, map-side partial agg, one shuffle on suppkey).
+    The scalar MAX reduces that view to ONE row, broadcast and compared
+    by equality — never a global sort, never a single-partition window
+    over all suppliers (the orderBy().over() alternative serializes
+    |suppliers| rows through one task at scale). The view is computed
+    twice (once for MAX, once for the probe) — two scans of a
+    date-pruned fact beat one single-task sort at 100 TB. The supplier
+    name join carries no hint (supplier scales with SF; AQE broadcasts
+    the post-MAX probe side — usually 1 row — instead). Ties all
+    surface, matching the SQL. The decimal-staged revenue is
+    bit-identical in both engines, so the double equality is exact."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(dmoney("l_extendedprice") * (1 - drate("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -621,3 +621,139 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.round(nll, 6) <= 5.0, 1).otherwise(0).alias("lm_ok"),
         )
     )
+
+
+# Simple, deterministic PII patterns shared verbatim by the Spark and DuckDB
+# sides (character classes only — identical semantics in Java regex and RE2).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+
+def redact_pii(df: DataFrame, col: str) -> DataFrame:
+    """Replace email addresses and international phone numbers in `col`
+    with typed placeholders, and count what was removed.
+
+    Pure JVM regexp_replace / regexp_extract_all column expressions —
+    whole-stage codegen, per-row cost only, shuffle-free: the shape a
+    redaction pass over 100 TB of documents needs (regex cost dominates;
+    nothing moves between executors)."""
+    c = F.col(col)
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))).cast("long"),
+            "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))).cast("long"),
+            col: F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+            ),
+        }
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com or +1 555 '
+               || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ' || text AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_digest
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus (emails + phone numbers →
+    typed placeholders), digest-verified byte-for-byte against the oracle.
+
+    The synthetic corpus contains no organic PII, so the query plants one
+    deterministic email and phone per document (derived from doc_id, same
+    expression in both engines) before redacting — proving the full
+    match-count-replace pipeline end to end without pretending the test
+    data is sensitive. The md5 digest of the redacted text pins the exact
+    replacement behavior (global replace, placement, untouched
+    surroundings), not just the counts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 "),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    red = redact_pii(docs, "text")
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5(F.col("text")).alias("redacted_digest")
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    oracle="""
+    WITH counted AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS offset_tokens
+      FROM counted
+    )
+    SELECT source,
+           CAST(offset_tokens // 256 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc
+    FROM placed
+    GROUP BY source, CAST(offset_tokens // 256 AS BIGINT)
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for LLM pre-training: concatenate each
+    source's documents in doc_id order and cut fixed 256-token context
+    windows; a document belongs to the sequence where it STARTS (the
+    standard concat-then-chunk packing — deterministic, no bin-packing
+    search, no stragglers).
+
+    One shuffle total: the running token offset is a window over
+    (source, doc_id) — per-source partitioning, map-side partial counts
+    feed the same exchange the final per-sequence rollup reuses (same
+    keys prefix). At 100 TB sources are the parallelism unit; a skewed
+    giant source would chunk through one task's window scan, which is
+    inherent to exact contiguous packing — mitigate upstream by salting
+    source into shards if one source dominates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = counted.withColumn(
+        "offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.groupBy(
+            "source", (F.col("offset_tokens") / F.lit(256)).cast("long").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

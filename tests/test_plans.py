@@ -331,3 +331,55 @@ def test_q19_disjunction_pushes_per_side_implications(spark):
         "PushedFilters" in s and "Brand#" in s.split("PushedFilters")[1][:400]
         for s in scan_part
     )
+
+
+def test_q7_nation_prune_reaches_dim_scans(spark):
+    """The per-side IN (A,B) implication of the cross-pair OR must reach
+    both nation scans as a pushed filter, and no join degenerates to a
+    cartesian/nested-loop product."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q7_volume_shipping")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    nation_scans = [s for s in plan.split("Scan parquet") if "n_name" in s]
+    assert sum(
+        "PushedFilters" in s and "NATION_" in s.split("PushedFilters")[1][:300]
+        for s in nation_scans
+    ) >= 2
+    # the shipdate window is pushed to the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q13_left_join_predicate_prunes_orders_scan(spark):
+    """The non-join predicate inside the LEFT JOIN condition must prune
+    the orders scan (not run post-join), and the join must stay left
+    outer (zero-order customers survive)."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q13_order_distribution")(spark, SF_SMOKE))
+    orders_scans = [s for s in plan.split("Scan parquet") if "o_orderpriority" in s]
+    assert any(
+        "PushedFilters" in s and "1-URGENT" in s.split("PushedFilters")[1][:300]
+        for s in orders_scans
+    )
+    assert "LeftOuter" in plan
+
+
+def test_q14_single_pass_conditional_agg(spark):
+    """Numerator and denominator come from ONE aggregate over one join —
+    exactly one lineitem scan, month filter pushed to it."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q14_promo_revenue")(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q15_scalar_max_broadcasts_not_global_window(spark):
+    """The scalar MAX must arrive as a broadcast join, never as a global
+    (unpartitioned) Window over all suppliers."""
+    from minibatch_spark.plans import assert_in_plan, assert_not_in_plan
+
+    df = _q("q15_top_supplier")(spark, SF_SMOKE)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "Window")
