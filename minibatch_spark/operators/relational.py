@@ -1799,3 +1799,85 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(20,6)) AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS DECIMAL(20,6)) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by year — the deepest join tree in the suite (7 tables)
+    with a conditional-aggregate ratio on top.
+
+    Join order follows selectivity: part is filtered to one type FIRST
+    and joined to lineitem (the only unavoidable fact-fact shuffle is
+    orders x lineitem on orderkey); customer is pre-pruned to the target
+    region by broadcasting the 25-row nation x 5-row region chain into
+    it, so only ~1/5 of customers reach the fact join. The numerator
+    keeps ALL suppliers' sales (the denominator is the whole region
+    market) and tags each row with the supplier nation via a broadcast
+    25-row dim — share = SUM(CASE)/SUM in one pass, no second scan. No
+    forced broadcasts on SF-scaled tables: AQE picks broadcast at small
+    SF and shuffle joins at 100 TB."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey")
+    ).select("c_custkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey")
+    ).select("s_suppkey", "supp_nation")
+    volume = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    tagged = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast(DEC_MONEY)
+    )
+    return tagged.groupBy("o_year").agg(
+        (dsum(nation_vol) / dsum(F.col("volume"))).alias("mkt_share")
+    )

@@ -383,3 +383,14 @@ def test_q15_scalar_max_broadcasts_not_global_window(spark):
     df = _q("q15_top_supplier")(spark, SF_SMOKE)
     assert_in_plan(df, "BroadcastHashJoin")
     assert_not_in_plan(df, "Window")
+
+
+def test_q8_deep_join_tree_no_cartesian(spark):
+    """Seven-table join tree: type filter pushed to the part scan, date
+    window pushed to orders, no cartesian/nested-loop anywhere."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q8_market_share")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
