@@ -757,3 +757,92 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "docs_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT d.source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(d.text), '\\s+')) - 2, 0)),
+               i -> regexp_split_to_array(trim(d.text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(d.text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(d.text), '\\s+')[i+2]))) AS shingle
+      FROM documents d
+      WHERE len(regexp_split_to_array(trim(d.text), '\\s+')) >= 3
+    ),
+    src_sh AS (SELECT DISTINCT source, shingle FROM sh),
+    keep AS (
+      SELECT shingle FROM src_sh GROUP BY shingle HAVING COUNT(*) <= 10
+    ),
+    u AS (SELECT s.source, s.shingle FROM src_sh s JOIN keep k USING (shingle)),
+    sizes AS (SELECT source, COUNT(*) AS n FROM u GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM u a JOIN u b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - p.n_shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    """,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: pairwise 3-gram-shingle overlap
+    (intersection count + Jaccard) between every pair of corpus sources —
+    the matrix that tells a data-mixing pipeline which "independent"
+    sources are actually scraping each other.
+
+    Scale shape: sources-by-shingle (NOT doc pairs) — the self-join key
+    is the shingle, and each shingle's fanout is bounded by its source
+    count, which the document-frequency gate caps at 10 sources (a
+    shingle in more sources than that is boilerplate with no
+    discriminative value — the same reasoning as the prefix filter in
+    dedup_ngram_jaccard, and the cap is what keeps the join linear in
+    |shingles| instead of quadratic in |sources| on stop-phrases at
+    100 TB). Reuses the staged shingle table (one tokenize pass per
+    process, shared with the whole dedup family); per-source shingle
+    sets collapse docs first, so the join input is |sources|x|distinct
+    shingles|, corpus-size-independent."""
+    from minibatch_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = shingle_table(spark, sf_dir)
+    src_sh = (
+        sh.join(docs, "doc_id")
+        .select("source", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    keep = src_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 10
+    ).select("shingle")
+    u = src_sh.join(keep, "shingle")
+    sizes = u.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = u.select(F.col("source").alias("src_a"), "shingle")
+    b = u.select(F.col("source").alias("src_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -275,3 +275,70 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("sum_v") / F.col("n")).over(w_grp), 6
         ).alias("ffill_avg"),
     )
+
+
+@query(
+    "events_rollup_merge",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE)
+             / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (hypertable rollup): answer a DAILY
+    query by MERGING a finer HOURLY rollup, never re-reading raw events.
+
+    The hourly rollup keeps only mergeable partial states — count, exact
+    decimal sum, min, max — so coarser grains are a second (tiny)
+    aggregation over rollup rows: merged count = sum of counts, merged
+    sum = sum of sums, min/max = min/max. AVG is NON-mergeable and is
+    derived at read time as merged_sum/merged_count — averaging hourly
+    averages would weight each hour equally regardless of row count (the
+    classic rollup bug). The oracle aggregates the RAW table directly,
+    proving the two-level merge is exact, decimal staging included.
+
+    Scale: this is the 100 TB pattern for dashboard/reporting grains —
+    the raw corpus is touched once per rollup build (streaming upkeep in
+    production); every coarser query costs |hours| rows, ~4 orders of
+    magnitude smaller. Both aggs shuffle on prefixes of the same keys,
+    and the day agg's input is already near-final size."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dmoney("value")).cast("decimal(20,6)").alias("sum_dec"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    merged = (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"),
+            "event_type",
+        ).agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_dec").cast("decimal(20,6)").alias("sum_merged"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_merged").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_merged").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
