@@ -414,6 +414,25 @@ def test_typed_frame_schema_on_read(spark, tmp_path):
     assert dict(df.dtypes)["v"] == "double"
 
 
+def test_typed_frame_schema_evolution(spark, tmp_path):
+    """Reference parity with strict:False dynamic documents (reference
+    models.py:127,146,172): payload keys may appear or disappear over a
+    stream's life. Schema-on-read must surface old rows with NULL for
+    later-added fields and silently ignore retired/unknown keys — no
+    rewrite of buffered data, no read failure."""
+    s = _mk(tmp_path, name="evolve")
+    s.append({"v": 1.0})                      # epoch 1: no 'user' yet
+    s.append({"v": 2.0, "user": "b"})         # epoch 2: field added
+    s.append({"v": 3.0, "user": "c", "extra": 9})  # epoch 3: unknown key
+    s.flush()
+    df = s.typed_frame(spark, "v double, user string")
+    got = {r.v: r.user for r in df.collect()}
+    assert got == {1.0: None, 2.0: "b", 3.0: "c"}
+    # narrowing the declared schema ignores retired fields entirely
+    narrow = s.typed_frame(spark, "v double")
+    assert sorted(r.v for r in narrow.collect()) == [1.0, 2.0, 3.0]
+
+
 def test_compact_merges_files_preserves_rows(spark, tmp_path):
     """Small-files maintenance: 12 one-row part files compact to one file;
     row set, order keys, and a subsequent CountWindow run are unchanged."""
