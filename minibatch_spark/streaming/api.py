@@ -70,6 +70,7 @@ def make_emitter(
     common = dict(
         emitfn=emitfn,
         forwardfn=forwardfn,
+        sink=sink,
         keep=keep,
         emit_empty=emit_empty,
         as_dataframe=as_dataframe,

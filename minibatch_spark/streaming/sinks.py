@@ -71,3 +71,29 @@ class StreamSink:
         for m in messages:
             self.stream.append(m if isinstance(m, dict) else {"value": m})
         self.stream.flush()
+
+
+class IdempotentParquetSink(ParquetSink):
+    """Exactly-once variant of ParquetSink: emitters hand each window a
+    deterministic key (WindowEmitter.window_key — md5 of the stream name
+    and the window's (created, seq) bounds) and delivery becomes an
+    atomic write to a key-named file. A replayed micro-batch re-derives
+    the same keys, so redelivery OVERWRITES the same files instead of
+    appending duplicates — Spark's at-least-once foreachBatch replay
+    composes with this into effectively-once sink output, the same
+    mechanism as Spark's native file-sink transaction log (batch-id-
+    deterministic file names).
+
+    Caveat: EMPTY windows are content-free and share one key — a keyed
+    sink records at most one empty-window marker, not one per gap bucket.
+    Use plain ParquetSink where empty-window cardinality matters."""
+
+    def put_keyed(self, key: str, message) -> None:
+        messages = message if isinstance(message, list) else [message]
+        table = pa.Table.from_pylist(
+            [{"data": json.dumps(m, default=str)} for m in messages],
+            schema=self._schema,
+        )
+        tmp = os.path.join(self.path, f".{key}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.path, f"sink-{key}.parquet"))

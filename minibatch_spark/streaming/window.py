@@ -46,6 +46,7 @@ foreachBatch path with no driver materialization).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import threading
@@ -99,10 +100,16 @@ class WindowEmitter:
         clean_source: bool = True,
         name: Optional[str] = None,
         workers: Optional[int] = None,
+        sink=None,
     ):
         self.stream = stream
         self.emitfn = emitfn
         self.forwardfn = forwardfn
+        # keyed-sink upgrade path: sinks exposing put_keyed(key, msg) get a
+        # deterministic per-window key so micro-batch REPLAYS overwrite
+        # instead of duplicate (exactly-once forward; plain put() sinks
+        # keep the reference's at-least-once semantics, window.py:214-218)
+        self.sink = sink
         self.processfn = processfn
         self.emit_empty = emit_empty
         self.keep = keep
@@ -218,8 +225,24 @@ class WindowEmitter:
             Window(win.stream, win.created, data=[], query=win.query)
         )
         # forward (reference window.py:155-157, emit_done :208-226)
-        if self.forwardfn:
-            self.forwardfn(result if result is not None else win.data)
+        out = result if result is not None else win.data
+        if self.sink is not None and hasattr(self.sink, "put_keyed"):
+            self.sink.put_keyed(self.window_key(rows), out)
+        elif self.forwardfn:
+            self.forwardfn(out)
+
+    def window_key(self, rows: list[dict]) -> str:
+        """Deterministic identity of a window: md5 over the stream name and
+        the (created, seq) bounds of its rows. A replayed micro-batch
+        re-splits into the SAME windows (split() is a pure function of row
+        order), so the key is stable across replays — the anchor for
+        idempotent (exactly-once) sink delivery."""
+        if not rows:
+            return hashlib.md5(f"{self.stream.name}|empty".encode()).hexdigest()
+        ks = [(r["created"], r.get("seq")) for r in rows]
+        lo, hi = min(ks), max(ks)
+        raw = f"{self.stream.name}|{lo[0].isoformat()}|{lo[1]}|{hi[0].isoformat()}|{hi[1]}|{len(rows)}"
+        return hashlib.md5(raw.encode()).hexdigest()
 
     def _persist(self, win: Window) -> None:
         schema = pa.schema(

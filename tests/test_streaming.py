@@ -478,3 +478,46 @@ def test_as_dataframe_scale_path_no_driver_collect(spark, tmp_path):
     em = CountWindow(s, emitfn=emitfn, size=2, as_dataframe=True)
     em.run(spark, available_now=True)
     assert sum(n for _, n in got["batches"]) == 8  # every message exactly once
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once forward: redelivering every window (fresh checkpoint
+    over an uncleaned buffer = the worst-case replay) leaves a keyed sink
+    with ONE file per distinct window, while the plain at-least-once sink
+    accumulates duplicates."""
+    import glob
+    import json as _json
+
+    from minibatch_spark.streaming.sinks import IdempotentParquetSink, ParquetSink
+
+    s = _mk(tmp_path, name="ido")
+    for i in range(4):
+        s.append({"i": i})
+    keyed = IdempotentParquetSink(str(tmp_path / "keyed"))
+    plain = ParquetSink(str(tmp_path / "plain"))
+
+    def run(name):
+        em = CountWindow(s, size=2, sink=keyed, name=name, clean_source=False)
+        em.run(spark, available_now=True)
+        em2 = CountWindow(
+            s, size=2, forwardfn=plain.put, name=name + "-plain", clean_source=False
+        )
+        em2.run(spark, available_now=True)
+
+    run("a")
+    run("b")  # fresh checkpoints -> FULL redelivery of both windows
+    keyed_files = glob.glob(str(tmp_path / "keyed" / "*.parquet"))
+    plain_files = glob.glob(str(tmp_path / "plain" / "*.parquet"))
+    assert len(keyed_files) == 2, keyed_files  # one per distinct window
+    assert len(plain_files) == 4  # at-least-once: 2 windows x 2 deliveries
+    import pyarrow.parquet as _pq
+
+    datas = sorted(
+        (
+            _json.loads(r["data"])
+            for f in keyed_files
+            for r in _pq.read_table(f).to_pylist()
+        ),
+        key=_json.dumps,
+    )
+    assert datas == [{"i": 0}, {"i": 1}, {"i": 2}, {"i": 3}]
