@@ -1881,3 +1881,46 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("o_year").agg(
         (dsum(nation_vol) / dsum(F.col("volume"))).alias("mkt_share")
     )
+
+
+# One SQL text, two engines: runs VERBATIM through spark.sql() AND as the
+# DuckDB oracle — the portability proof for the raw-SQL entry path
+# (Catalog.register_views + spark.sql), not just the DataFrame API.
+_PORTABLE_TOP_CUSTOMERS_SQL = """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DECIMAL(20,6))
+                  AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    ranked AS (
+      SELECT rev.*,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, c_custkey) AS rn
+      FROM rev
+    )
+    SELECT n_name, rn, c_custkey, c_name, revenue
+    FROM ranked
+    WHERE rn <= 3
+"""
+
+
+@query("sql_top_customers_portable", oracle=_PORTABLE_TOP_CUSTOMERS_SQL)
+def sql_top_customers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL API surface: the SAME ANSI SQL text is executed by
+    spark.sql() over Catalog.register_views AND by the DuckDB oracle —
+    zero translation. Proves a reference user can bring SQL, not just the
+    DataFrame API, and that Catalyst gives the portable text the same
+    treatment (year-filter pushdown, hash aggregate, rank as
+    WindowGroupLimit) it gives the built queries."""
+    from minibatch_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_PORTABLE_TOP_CUSTOMERS_SQL)
