@@ -162,3 +162,61 @@ def test_fake_decode_resize_invariants(blob):
     assert 1 <= ow <= RESIZE_MAX_SIDE and 1 <= oh <= RESIZE_MAX_SIDE
     assert RESIZE_MAX_SIDE - 1 <= max(ow, oh) <= RESIZE_MAX_SIDE
     assert len(digest) == 32
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.integers(0, 400), min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    interval=st.sampled_from([30, 60]),
+)
+def test_fixed_time_window_buckets_exactly_once(batches, interval):
+    """Drive FixedTimeWindow.split through the exact carry protocol
+    _on_batch uses (split(carry + rows)), over ARBITRARY arrival patterns
+    (late rows, gaps, empty batches, any batch boundaries), and assert
+    the round-1-verdict invariants:
+
+    - emitted windows form ONE strictly consecutive bucket range — no
+      bucket ever emitted twice (the r1 duplicate-bucket bug class);
+    - every non-empty window is bucket-pure (all rows share the window's
+      bucket);
+    - every input row is either emitted exactly once or counted in
+      late_dropped — nothing lost, nothing duplicated."""
+    from datetime import datetime, timedelta
+
+    from minibatch_spark.streaming.window import FixedTimeWindow
+
+    class _S:
+        name = "prop"
+
+    em = FixedTimeWindow(_S(), interval=interval)
+    base = datetime(2026, 1, 1)
+    emitted_windows: list[list[dict]] = []
+    carry: list[dict] = []
+    seq = 0
+    total_rows = 0
+    for batch in batches:
+        rows = []
+        for off in sorted(batch):
+            seq += 1
+            rows.append({"created": base + timedelta(seconds=off), "seq": seq})
+        total_rows += len(rows)
+        ws, carry = em.split(carry + rows, final=False)
+        emitted_windows += ws
+    ws, carry = em.split(carry, final=True)
+    emitted_windows += ws
+    assert carry == []
+
+    nonempty = [(i, w) for i, w in enumerate(emitted_windows) if w]
+    if nonempty:
+        i0, w0 = nonempty[0]
+        anchor = em._bucket(w0[0]["created"]) - i0
+        for i, w in nonempty:
+            assert {em._bucket(r["created"]) for r in w} == {anchor + i}, (
+                "window not bucket-pure or bucket out of sequence"
+            )
+    out_seqs = [r["seq"] for w in emitted_windows for r in w]
+    assert len(out_seqs) == len(set(out_seqs)), "row emitted twice"
+    assert len(out_seqs) + em.late_dropped == total_rows, "row lost"
