@@ -8,6 +8,7 @@ from minibatch_spark.streaming.join import joined_frame  # noqa: F401
 from minibatch_spark.streaming.models import Batcher, Stream  # noqa: F401
 from minibatch_spark.streaming.sinks import (  # noqa: F401
     CallableSink,
+    IdempotentParquetSink,
     MemorySink,
     ParquetSink,
     StreamSink,
