@@ -170,3 +170,73 @@ def write_partitioned(
     timestamps): each distinct value is a directory, and millions of
     tiny partitions destroy both the file system and the planner."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(location)
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. Pure JVM bit arithmetic — whole-stage
+    codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit positions are disjoint, so + IS the bitwise OR here
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    location: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Persist ``df`` clustered on the Z-order (Morton) curve of two
+    columns, split into ``n_files`` range-contiguous files.
+
+    Why at 100 TB: a linear sort on A gives perfect min/max file skipping
+    for predicates on A and NONE for B; the space-filling curve gives
+    ~sqrt(n) skipping on BOTH dimensions simultaneously, because each
+    file covers a compact rectangle of (A, B) space and parquet footer
+    min/max stats on the ORIGINAL columns stay narrow. This is the
+    standard multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE
+    ZORDER) expressed with stock Spark: compute the interleave, range-
+    partition on it, sort within partitions, drop the helper column at
+    write. Readers need no special support — data skipping falls out of
+    ordinary parquet stats (proven by
+    tests/test_plans.py::test_zorder_skips_both_dimensions)."""
+    from pyspark.sql import functions as F
+
+    # Normalize both columns to the SAME bit width before interleaving:
+    # with raw values, the wider-ranged column's high bits sit above every
+    # bit of the narrower one and the "curve" degenerates to a linear sort
+    # on the wide column (zero skipping on the narrow one). The min/max
+    # bounds are a 1-row aggregate — write-time metadata, not data motion.
+    bits = 16
+    top = (1 << bits) - 1
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+
+    def norm(c, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(c).cast("long") - F.lit(int(lo))) * top / span).cast("long")
+
+    zed = df.withColumn(
+        "__z", zorder_value(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits)
+    )
+    (
+        zed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(location)
+    )

@@ -394,3 +394,58 @@ def test_q8_deep_join_tree_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "EqualTo(p_type,ECONOMY)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_zorder_skips_both_dimensions(spark, tmp_path):
+    """Z-order clustering must let parquet min/max footer stats skip
+    files for narrow predicates on EITHER column; a linear sort only
+    skips on the sort column. Measured on real file footers."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.catalog import load_table, write_zordered
+
+    l = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+
+    def overlap_fraction(path, col, lo, hi):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) >= 8
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                if c.statistics.min <= hi and c.statistics.max >= lo:
+                    hit += 1
+                    break
+        return hit / len(files)
+
+    zpath = str(tmp_path / "z")
+    write_zordered(l, zpath, "l_partkey", "l_suppkey", n_files=16)
+    lpath = str(tmp_path / "linear")
+    (
+        l.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    amax = l.agg(F.max("l_partkey")).first()[0]
+    bmax = l.agg(F.max("l_suppkey")).first()[0]
+    # a narrow (1/8th) range on each dimension
+    za = overlap_fraction(zpath, "l_partkey", 0, amax // 8)
+    zb = overlap_fraction(zpath, "l_suppkey", 0, bmax // 8)
+    la = overlap_fraction(lpath, "l_partkey", 0, amax // 8)
+    lb = overlap_fraction(lpath, "l_suppkey", 0, bmax // 8)
+    # linear layout: perfect on the sort column, useless on the other
+    assert la <= 0.25 and lb == 1.0, (la, lb)
+    # z-order: real skipping on BOTH dimensions
+    assert za <= 0.7 and zb <= 0.7, (za, zb)
+    # and the data survives the round trip
+    assert spark.read.parquet(zpath).count() == l.count()
