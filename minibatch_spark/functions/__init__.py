@@ -16,6 +16,8 @@ Grouped by origin:
 - vectors: ``as_double/dot/l2norm/cosine`` higher-order-function vector
   algebra and the quantized-LSH ``sign_matrix/signature_udf``
   (operators/similarity.py)
+- curation: ``redact_pii`` (operators/text.py)
+- layout: ``zorder_value`` Morton interleave (catalog.py)
 """
 
 from minibatch_spark.operators.dedup import (  # noqa: F401
@@ -31,6 +33,7 @@ from minibatch_spark.operators.relational import (  # noqa: F401
     drate,
     dsum,
 )
+from minibatch_spark.catalog import zorder_value  # noqa: F401
 from minibatch_spark.operators.similarity import (  # noqa: F401
     as_double,
     cosine,
@@ -56,4 +59,8 @@ __all__ = [
     "cosine",
     "sign_matrix",
     "signature_udf",
+    "redact_pii",
+    "zorder_value",
 ]
+
+from minibatch_spark.operators.text import redact_pii  # noqa: F401,E402
