@@ -846,3 +846,74 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (idf.df + 1) AS score
+      FROM tf JOIN idf USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, rn, token, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, ROUND(score, 6) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document (SURVEY §7.2 M6).
+
+    The score is the rational form tf*(N+1)/(df+1) — one exact-integer
+    product and one IEEE division, bit-identical across engines, unlike
+    log-based idf where libm ulp differences could flip rank boundaries.
+    Monotonicity matches log-idf for fixed tf, so top-k membership is the
+    textbook one.
+
+    Scale shape: explode -> (doc, token) tf agg -> token df agg; the
+    df side is |vocab| rows (sublinear in corpus) joined back on token —
+    a many-to-one join AQE can broadcast while vocab fits, and the
+    stop-word key skew lives on the probe side where it parallelizes.
+    Top-3 per doc compiles to WindowGroupLimit, so each task keeps 3
+    rows per doc before the rank shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") + 1)).cast("double") / (F.col("df") + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "rn", "token", "tf", "df", F.round("score", 6).alias("score")
+        )
+    )
