@@ -449,3 +449,30 @@ def test_zorder_skips_both_dimensions(spark, tmp_path):
     assert za <= 0.7 and zb <= 0.7, (za, zb)
     # and the data survives the round trip
     assert spark.read.parquet(zpath).count() == l.count()
+
+
+def test_rollup_merge_single_raw_scan(spark):
+    """The daily grain must come from the hourly rollup — exactly one
+    scan of the raw events table."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("events_rollup_merge")(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 1
+
+
+def test_tfidf_rank_group_limit(spark):
+    """Top-3-per-doc compiles to WindowGroupLimit (k rows kept per task
+    pre-shuffle), and the vocab join never degenerates to a cartesian."""
+    from minibatch_spark.plans import assert_in_plan
+
+    plan = assert_in_plan(_q("text_tfidf_topterms")(spark, SF_SMOKE), "WindowGroupLimit")
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_no_cartesian(spark):
+    """The pairwise source matrix is a shingle-keyed join, never a
+    sources x sources cartesian."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_source_overlap")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
