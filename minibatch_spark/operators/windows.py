@@ -342,3 +342,55 @@ def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         (F.col("sum_merged").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+@query(
+    "events_rollup_hll",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BOOLEAN) AS hll_within_5pct
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct continuous aggregate: DAILY distinct users
+    computed by MERGING hourly HyperLogLog sketches (hll_sketch_agg →
+    hll_union_agg → estimate), never re-reading raw events for the
+    coarser grain.
+
+    This is the piece exact rollups (events_rollup_merge) cannot give
+    you: COUNT(DISTINCT) is NOT mergeable from exact partials, but HLL
+    sketches are — fixed-size byte arrays that union associatively, so
+    every grain above hourly costs |buckets| sketch unions instead of a
+    corpus-wide distinct shuffle. At 1000 executors that turns the
+    dashboard-distinct query from a 100 TB re-partition into KB-sized
+    state per bucket. Sketch internals are engine-specific, so the
+    oracle pins the portable contract: the exact count plus a boolean
+    asserting the merged estimate lands within HLL's error bound (lgK=12
+    ⇒ rsd≈1.6%; asserted at 5%)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_est = (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_users"))
+    )
+    exact = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    j = exact.join(daily_est, ["day", "event_type"])
+    rel_err = (
+        F.abs(F.col("hll_users") - F.col("exact_users")) / F.col("exact_users")
+    )
+    return j.select(
+        "day",
+        "event_type",
+        "exact_users",
+        (rel_err <= F.lit(0.05)).alias("hll_within_5pct"),
+    )
