@@ -1924,3 +1924,36 @@ def sql_top_customers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_PORTABLE_TOP_CUSTOMERS_SQL)
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long melt), the inverse of pivot_orders_status:
+    part's numeric measures become (p_partkey, measure, value) rows via
+    the native ``DataFrame.unpivot`` (Spark's UNPIVOT/MELT relational
+    operator, Expand physical node — one pass, no shuffle, output is
+    |ids| x |values| rows). Measures are cast to a common DOUBLE first
+    (unpivot requires a shared value type); the oracle is the portable
+    UNION ALL formulation every engine agrees on. ABSENT in the
+    reference (no relational surface at all — SURVEY §2.9)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

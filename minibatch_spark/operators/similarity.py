@@ -495,3 +495,73 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").cast("long").alias("code_min"),
         F.array_max("codes").cast("long").alias("code_max"),
     )
+
+
+SEM_DEDUP_THRESHOLD = 0.3  # the synthetic corpus has no planted
+#                            near-identical pairs; 0.3 sits at the ~99th
+#                            percentile of its within-label cosine
+#                            distribution so the drop set is non-vacuous
+#                            at test scale. Real corpora use ~0.95+.
+
+
+@query(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 6) >= {SEM_DEDUP_THRESHOLD}
+    )
+    SELECT e.vec_id, e.label,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    """,
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication filter (Abbas et al. 2023):
+    cluster the corpus into cells, compare pairs only WITHIN a cell, and
+    drop every vector that is the larger-id member of any pair with
+    cosine >= threshold (deterministic keep-the-smallest-id rule; chains
+    A~B, B~C drop both B and C even when A!~C — the standard greedy
+    transitive prune).
+
+    Cells here are the ``label`` column standing in for k-means cell
+    assignments (same stance as ann_ivf_topk). Scale shape: the
+    within-cell self-join shuffles once on the cell id and does
+    O(cell_size^2) work per cell — that quadratic being bounded is the
+    POINT of SemDeDup: at 100 TB you pick k so cells hold ~1e3-1e4
+    vectors, and the join never crosses cells (no global pairwise). The
+    drop list is a sliver of the corpus; the final membership join
+    shuffles on vec_id (AQE broadcasts the drop side while it fits).
+
+    Not in the reference (no vector ops — SURVEY §2.12 north-star)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v_df = stage(
+        e.select("vec_id", "label", as_double("embedding").alias("ve")),
+        "semdedup-vec",
+    )
+    a, b = v_df.alias("a"), v_df.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.ve"), F.col("b.ve")), 6)
+            >= F.lit(SEM_DEDUP_THRESHOLD)
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        v_df.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

@@ -917,3 +917,147 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rn", "token", "tf", "df", F.round("score", 6).alias("score")
         )
     )
+
+
+VOCAB_TOP_N = 50  # emitted vocabulary prefix
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM cnt
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+           ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE rank <= {VOCAB_TOP_N}
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder with cumulative token coverage — the
+    tokenizer-training / vocab-pruning primitive: rank every surface form
+    by frequency and report what share of all token instances the top-k
+    prefix covers (BPE-corpus prep asks "how big must V be for 99%
+    coverage"; data audits ask the inverse).
+
+    Scale shape: explode -> token-count agg is one map-side-combined
+    shuffle keyed on token (hot stopword keys collapse in the combiner —
+    per-partition partials are |local vocab|, not |tokens|). The ranking
+    window then runs over the AGGREGATED vocab table — |V| rows, sublinear
+    in corpus size (~1e5-1e7 at 100 TB) — so the single-task unpartitioned
+    window is structure-bounded, the same stance as count_window_batches'
+    partition-offset pass. cnt/rank cast to BIGINT on both engines
+    (DuckDB SUM(BIGINT) is HUGEINT; Spark row_number is INT)."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = cnt.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return ranked.filter(F.col("rank") <= VOCAB_TOP_N).select(
+        "token",
+        "cnt",
+        "rank",
+        F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6)
+        .alias("cum_share"),
+    )
+
+
+BOILERPLATE_DF = 3  # shingle document-frequency above which a 3-gram is
+#                     "boilerplate" (appears in > 3 distinct docs). Real
+#                     pipelines set this relative to corpus size; the
+#                     constant keeps the oracle replayable.
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
+      FROM documents
+    ), df AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    ), per AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN d.df > {BOILERPLATE_DF} THEN 1 ELSE 0 END) AS n_boiler
+      FROM sh s JOIN df d USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           ROUND(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_frac,
+           CASE WHEN CAST(n_boiler AS DOUBLE) / n_shingles <= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM per
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-n-gram scoring — the RefinedWeb/C4 'remove documents
+    made of template text' curation op: a 3-gram is boilerplate when it
+    occurs in more than BOILERPLATE_DF distinct documents; each document
+    reports how much of it is boilerplate and a keep flag (<= 50%).
+
+    Scale shape: reuses the shared staged shingle table (one corpus
+    tokenization feeds five pipelines), posts (doc_id, shingle-hash) once,
+    attaches document frequency with a count-over-window partitioned by
+    shingle — ONE shuffle of the posting table, vs two for the
+    groupBy+join formulation (same measured tradeoff as
+    dedup_ngram_jaccard step 2) — then re-aggregates per doc_id (second
+    shuffle, map-side combined). Hot boilerplate shingles are exactly the
+    skewed keys; the window count is a per-key reduction, no row
+    explosion. Internal keys are xxhash64 (never surfaced; the oracle
+    intersects raw strings), same stance as dedup_ngram_jaccard step 1."""
+    from pyspark.sql import Window
+
+    from minibatch_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(spark, sf_dir).select(
+        "doc_id", F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shh")
+    )
+    posted = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shh")))
+    per = posted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            F.when(F.col("df") > BOILERPLATE_DF, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_boiler"),
+    )
+    frac = F.col("n_boiler").cast("double") / F.col("n_shingles")
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(frac, 6).alias("boiler_frac"),
+        F.when(frac <= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
