@@ -46,6 +46,7 @@ def _load_all() -> None:
         similarity,
         skew,
         text,
+        tpch,
         windows,
     )
 

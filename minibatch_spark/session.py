@@ -35,6 +35,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Testdata parquet stores TIMESTAMP(MICROS, isAdjustedToUTC=false); with
+    # NTZ inference Spark 4 surfaces TIMESTAMP_NTZ, which epoch functions
+    # (unix_millis et al) reject. Reading as TIMESTAMP_LTZ under the pinned
+    # UTC session tz gives bit-identical arithmetic to DuckDB's naive µs.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # 128 MiB input splits: big enough to amortize task overhead, small
