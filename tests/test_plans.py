@@ -476,3 +476,64 @@ def test_source_overlap_no_cartesian(spark):
 
     plan = explain_str(_q("docs_source_overlap")(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_window_one_partkey_shuffle(spark):
+    """Q2's correlated MIN decorrelates to a window over partkey — no
+    agg+self-join double scan of the cost table, dims broadcast."""
+    from minibatch_spark.plans import assert_in_plan, assert_not_in_plan, explain_str
+
+    df = _q("q2_min_cost_supplier")(spark, SF_SMOKE)
+    assert_in_plan(df, "BroadcastHashJoin", "TakeOrderedAndProject")
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert "Window" in explain_str(df)
+
+
+def test_q9_part_filter_broadcasts_before_fact_join(spark):
+    """Q9's selective p_name filter semi-reduces lineitem via broadcast
+    before the orderkey shuffle."""
+    from minibatch_spark.plans import broadcast_join_count, assert_not_in_plan
+
+    df = _q("q9_product_profit")(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 3  # part, supplier, nation
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_q11_scalar_total_broadcasts(spark):
+    """Q11's fraction-of-total threshold is a 1-row broadcast, never a
+    global window over the per-part aggregates."""
+    from minibatch_spark.plans import assert_in_plan, assert_not_in_plan
+
+    df = _q("q11_important_parts")(spark, SF_SMOKE)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """Q16's NOT IN (non-nullable key) plans a broadcast LEFT ANTI hash
+    join, not a null-aware nested loop."""
+    from minibatch_spark.plans import explain_str, assert_not_in_plan
+
+    df = _q("q16_supplier_diversity")(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_q20_having_feeds_semi_join(spark):
+    """Q20's IN-over-aggregate plans a LEFT SEMI with the qualifying
+    suppliers broadcast to the supplier scan."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("q20_heavy_shippers")(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q21_no_self_join_pair_blowup(spark):
+    """Q21's EXISTS/NOT EXISTS are answered from per-order aggregates:
+    the plan must contain NO nested-loop/cartesian operator and lineitem
+    joins only on the orderkey spine."""
+    from minibatch_spark.plans import assert_not_in_plan
+
+    df = _q("q21_waiting_suppliers")(spark, SF_SMOKE)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
