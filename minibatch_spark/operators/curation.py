@@ -1,0 +1,230 @@
+"""Corpus-curation operators beyond the dedup/text families: exact
+repeated-span detection, deterministic shuffle-sharding, and token-budget
+data mixing.
+
+The reference has no analytics operators at all (reference
+README.rst:315-322 lists even count/filter/groupby as future work); these
+are north-star additions for the 100 TB training-data pipeline, shaped the
+way the published pipelines do it:
+
+- repeated spans ≙ the exact-substring dedup pass of Lee et al. 2022
+  ("Deduplicating Training Data Makes Language Models Better") — theirs is
+  suffix-array based on one machine; the distributed equivalent is
+  positional n-gram explode + count, which finds the same ≥k-token
+  repeated spans.
+- shuffle-shard ≙ the deterministic global shuffle every training run
+  needs before writing tfrecord/webdataset shards.
+- token-budget mix ≙ per-source sampling to a token budget (data-mixture
+  curation), the selection step behind mixture weights.
+
+Determinism contract: every pseudorandom choice derives from md5 over a
+salted key (engine-reproducible — DuckDB replays it bit-for-bit), never
+from rand()/shuffle().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minibatch_spark.catalog import load_table, spread
+from minibatch_spark.operators.dedup import h64, tokens
+from minibatch_spark.registry import query
+
+SPAN_K = 8  # tokens per span (Lee et al. use 50 BPE tokens; 8 words ~ same order)
+SPAN_MIN_DOCS = 2  # spans seen in >= this many distinct docs are "repeated"
+N_SHARDS = 16
+TOKEN_BUDGET = 20_000  # per-source token budget for the mixing query
+
+
+def spans_of(tok_col: Column, k: int = SPAN_K) -> Column:
+    """ALL positional k-gram spans (duplicates preserved — occurrence
+    counting needs them, unlike dedup's array_distinct shingles).
+
+    Same zip_with-over-shifted-slices construction as dedup.shingles_of —
+    never an outer column reference inside a lambda (Spark re-evaluates
+    captured expressions per element: O(n²)/row, see dedup.py). The
+    shifted side is null-padded; concat propagates null; the filter drops
+    the k-1 incomplete tail grams."""
+    grams = tok_col
+    for j in range(1, k):
+        shifted = F.slice(tok_col, j + 1, F.greatest(F.size(tok_col) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+_SPAN_SQL_EXPR = (
+    "list_transform(generate_series(1, greatest(len(tk) - {km1}, 0)), i -> "
+    + " || ' ' || ".join("tk[i+%d]" % j for j in range(SPAN_K))
+    + ")"
+).format(km1=SPAN_K - 1)
+
+
+@query(
+    "docs_repeated_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, unnest({_SPAN_SQL_EXPR}) AS span
+      FROM tk
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_occur,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sp
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ORDER BY n_docs DESC, n_occur DESC, span
+    LIMIT 50
+    """,
+)
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (the distributed form of Lee et al.'s
+    exact-substring dedup): every positional {SPAN_K}-token span, counted
+    by occurrences and by distinct documents; spans recurring across >=
+    {SPAN_MIN_DOCS} docs surface for removal/masking.
+
+    Plan: one documents scan -> tokenize -> positional span explode ->
+    hash aggregate. The explode multiplies rows by ~n_tokens, but partial
+    (map-side) aggregation collapses within-partition repeats before the
+    shuffle, and the span-hash key space self-limits skew (a span's count
+    is bounded by corpus occurrences, and the two-level agg below caps any
+    single key's partial rows at #partitions). Top-50 is
+    TakeOrderedAndProject — no global sort. At 100 TB this is the same
+    explode->agg shape as text_top_bigrams, which survives scale-up by
+    construction; the HAVING cut keeps the result bounded regardless of
+    corpus size.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens("text").alias("tk"))
+    sp = tk.select("doc_id", F.explode(spans_of(F.col("tk"))).alias("span"))
+    return (
+        sp.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occur"), F.asc("span"))
+        .limit(50)
+    )
+
+
+@query(
+    "docs_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           hkey % {N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+)
+def docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: each doc gets a
+    shard (md5-derived, uniform) and a position within its shard (ordered
+    by the same hash — i.e. pseudorandom but reproducible run-to-run and
+    engine-to-engine; no rand(), no seed plumbing).
+
+    This is the write-side of every training pipeline: shuffle once,
+    write N shard files, readers stream shards sequentially. Plan: ONE
+    shuffle on the shard key; within-shard ordering rides the window
+    sort on the same partitioning (no second exchange). At 100 TB you
+    raise N_SHARDS so each shard's window sort fits an executor
+    (shards-per-task = spill-aware knob) — the plan shape is unchanged.
+    The md5-hash order also breaks any source/time clustering in the
+    input, which is the point of the pre-training shuffle.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = d.select(
+        "doc_id",
+        h64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("hkey"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("shard", F.col("hkey") % N_SHARDS)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "docs_token_budget_mix",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS prio
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM sized
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM cum
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (data-mixture curation): docs are
+    taken in deterministic pseudorandom order (md5 priority) until the
+    source's token budget ({TOKEN_BUDGET}) fills; the result is the docs-
+    and tokens-kept profile per source — i.e. the realized mixture.
+
+    Plan: one scan computes (n_tokens, priority) per doc; ONE shuffle on
+    source feeds both the running-sum window and the final per-source
+    aggregate (same partitioning — Catalyst reuses the exchange). At
+    100 TB the per-source window is the only sort and each source's docs
+    are bounded by budget/min_doc_tokens after the cumulative filter;
+    heavily skewed sources sort more rows, which AQE's skew handling or a
+    coarse pre-filter (cap candidate docs at ~3x budget by priority
+    percentile) would bound — noted as the scale lever, not needed at
+    test SF.
+    """
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias("prio"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("prio", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
