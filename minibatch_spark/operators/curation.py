@@ -152,14 +152,13 @@ def docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         h64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("hkey"),
     )
     w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
-    return (
-        h.withColumn("shard", F.col("hkey") % N_SHARDS)
-        .select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("long").alias("pos"),
-        )
-        .orderBy("shard", "pos")
+    # no final orderBy: (shard, pos) already encodes the order — a global
+    # sort here would add a range exchange on top of the window's single
+    # hash exchange for pure cosmetics
+    return h.withColumn("shard", F.col("hkey") % N_SHARDS).select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
     )
 
 

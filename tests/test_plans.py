@@ -537,3 +537,36 @@ def test_q21_no_self_join_pair_blowup(spark):
 
     df = _q("q21_waiting_suppliers")(spark, SF_SMOKE)
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_shuffle_shard_single_exchange(spark):
+    """Shard assignment + within-shard position ride ONE hash exchange on
+    the shard key; no global sort for cosmetic output order."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_shuffle_shard")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_token_budget_mix_shares_source_exchange(spark):
+    """The cumulative window and the final per-source aggregate reuse the
+    same hash partitioning on source."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_token_budget_mix")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repeated_spans_partial_agg_take_ordered(spark):
+    """Span counting partial-aggregates before the shuffle and the top-50
+    is TakeOrderedAndProject, never a global sort."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("docs_repeated_spans")(spark, SF_SMOKE)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    plan = explain_str(df, mode="simple")
+    # partial (span, doc_id) counting happens below the span exchange —
+    # the distinct expands to a two-level aggregate with map-side partials
+    assert "partial_count" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
