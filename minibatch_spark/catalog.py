@@ -80,16 +80,44 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 
-def stage(df: DataFrame, name: str) -> DataFrame:
-    """Durable stage boundary: write ``df`` to scratch parquet, read it back.
+STAGE_DURABLE_DEFAULT = os.environ.get("MINIBATCH_SPARK_DURABLE_STAGE", "") == "1"
 
-    Replaces ``localCheckpoint`` (executor-memory/disk blocks that are lost
-    on executor failure) with real storage both sides of a self-join can
-    re-read — the "write signatures, then join" stage split a 100 TB
-    pipeline performs anyway. The write runs once at plan-construction
-    time; every downstream consumer scans the materialized parquet instead
-    of recomputing the upstream plan.
+
+def stage(df: DataFrame, name: str, durable: bool | None = None) -> DataFrame:
+    """Tiered stage boundary: materialize ``df`` once so every downstream
+    consumer (both sides of a self-join, each LSH band, each CC round)
+    re-reads the result instead of recomputing the upstream plan.
+
+    Two tiers:
+
+    * ``durable=False`` (default): ``persist(MEMORY_AND_DISK)`` + an eager
+      materializing ``count()``. No parquet round-trip — the round-2 bench
+      showed the durable write costing dedup_minhash_pairs +44% wall — and
+      storage-level DISK spill keeps it safe when the stage outgrows
+      executor memory. Lineage is retained, so a lost executor's blocks
+      are *recomputed*, not lost: correctness is unaffected either way,
+      only recovery cost differs.
+    * ``durable=True`` (or env ``MINIBATCH_SPARK_DURABLE_STAGE=1``, the
+      cluster-run switch): write scratch parquet and read it back — real
+      storage that survives executor loss without any recomputation, the
+      "write signatures, then join" stage split a 100 TB pipeline performs
+      anyway because re-deriving a multi-hour upstream on node failure is
+      worse than one parquet round-trip. This is the tier a 1000-executor
+      run should use for stages whose upstream is expensive.
+
+    Both tiers cut the lineage *cost* identically at plan level: the
+    returned frame is scanned, never re-derived, by each consumer.
     """
+    if durable is None:
+        durable = STAGE_DURABLE_DEFAULT
+    if not durable:
+        from pyspark.storagelevel import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager: force the blocks NOW so N concurrent downstream consumers
+        # hit the cache instead of racing to compute the same partitions
+        cached.count()
+        return cached
     import shutil
     import time
 

@@ -82,9 +82,9 @@ _SPAN_SQL_EXPR = (
 )
 def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-span detection (the distributed form of Lee et al.'s
-    exact-substring dedup): every positional {SPAN_K}-token span, counted
+    exact-substring dedup): every positional SPAN_K(=8)-token span, counted
     by occurrences and by distinct documents; spans recurring across >=
-    {SPAN_MIN_DOCS} docs surface for removal/masking.
+    SPAN_MIN_DOCS(=2) docs surface for removal/masking.
 
     Plan: one documents scan -> tokenize -> positional span explode ->
     hash aggregate. The explode multiplies rows by ~n_tokens, but partial

@@ -56,6 +56,57 @@ def _ts(s: str) -> Column:
     return F.lit(s).cast("timestamp")
 
 
+# --- exact decimal sums on the long fast path -------------------------------
+#
+# sum(DECIMAL(12,2)) gets a DECIMAL(22,2) buffer in Spark — past the 18-digit
+# compact-long representation, so every row pays BigDecimal object math
+# (measured ~4x the whole-stage-codegen long path on q1). The limb trick
+# keeps the SAME exact value while staying in long codegen end-to-end:
+#
+#   1. per row, the measure is built as an exact UNSCALED LONG (cents,
+#      basis-point products, ...) — integer ops, never a double in sight;
+#   2. the long is split into three 10^6 limbs (u % 1e6, u div 1e6 % 1e6,
+#      u div 1e12) and each limb is summed as a plain LONG — safe to
+#      ~9e11 rows per group per limb (1e6 * 9e11 < 2^63), i.e. 100 TB+;
+#   3. the three limb sums (a few rows, post-aggregation) recombine in
+#      DECIMAL(38) arithmetic — exact, since every term is an integer
+#      scaled by a power of ten and the precisions stay under 38 —
+#      then take the same DECIMAL(20,6) -> DOUBLE exit as dsum().
+#
+# Equality with the DuckDB oracle is *exact by construction*: both engines
+# compute the identical integer, and the final correctly-rounded double
+# conversion of identical decimals agrees bit-for-bit.
+
+_LIMB = 1_000_000
+
+
+def unscaled(e: Column, scale: int) -> Column:
+    """Exact unscaled-long view of a (compact) decimal expression."""
+    return (e * F.lit(10**scale)).cast("long")
+
+
+def limb_sums(tag: str, u: str) -> list[Column]:
+    """Three long aggregates carrying the exact sum of column ``u``."""
+    return [
+        F.sum(F.expr(f"{u} % {_LIMB}")).alias(f"__{tag}0"),
+        F.sum(F.expr(f"({u} div {_LIMB}) % {_LIMB}")).alias(f"__{tag}1"),
+        F.sum(F.expr(f"{u} div {_LIMB} div {_LIMB}")).alias(f"__{tag}2"),
+    ]
+
+
+def limb_total(tag: str, scale: int) -> Column:
+    """Recombine limb sums into the exact decimal total, surfaced as double
+    through the same DECIMAL(20,6) gate (and exactness argument) as dsum."""
+    from decimal import Decimal
+
+    total = None
+    for i in range(3):
+        weight = F.lit(Decimal(1).scaleb(6 * i - scale))
+        term = F.col(f"__{tag}{i}").cast("decimal(20,0)") * weight
+        total = term if total is None else total + term
+    return total.cast("decimal(20,6)").cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5 — ABSENT in reference, README.rst:321)
 # ---------------------------------------------------------------------------
@@ -86,23 +137,53 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary. Scan -> pushed filter -> partial+final
     hash agg; one shuffle on the (tiny-cardinality) group keys. At 100 TB the
     map-side partial aggregation reduces the shuffle to ~#groups x #tasks rows.
+
+    Money math rides the limb-sum fast path (see limb_sums): each measure is
+    an exact unscaled long per row — cents, cents x basis-points (scale 6),
+    cents x bp x bp (scale 10) — so the whole aggregate stays in long
+    whole-stage codegen instead of BigDecimal buffers (the round-2 +14%
+    regression), while remaining bit-identical to the DuckDB decimal oracle.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
-    charge = disc_price * (F.lit(1) + drate("l_tax"))
-    n = F.count(F.lit(1))
-    return (
+    pre = (
         l.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(dmoney("l_quantity")).alias("sum_qty"),
-            dsum(dmoney("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            (dsum(dmoney("l_quantity")) / n).alias("avg_qty"),
-            (dsum(dmoney("l_extendedprice")) / n).alias("avg_price"),
-            n.alias("count_order"),
+        # round(x*10^s) extracts the unscaled long straight from the double
+        # (cheaper than the double->decimal->long cast chain by ~20%): for
+        # money data EXACT at 2dp/4dp — as here, and as the DECIMAL(12,2)
+        # oracle cast itself assumes — the correctly-rounded double multiply
+        # cannot cross a half-up boundary, so both extractions agree
+        # digit-for-digit. unscaled(dmoney(...)) remains the conservative
+        # path for data without that guarantee.
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("uq"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("up"),
+            F.round(F.col("l_discount") * 10000).cast("long").alias("ud"),
+            F.round(F.col("l_tax") * 10000).cast("long").alias("ut"),
         )
+        # scale-6 and scale-10 unscaled products: <= ~1e15 per row, exact
+        .withColumn("udp", F.col("up") * (F.lit(10000) - F.col("ud")))
+        .withColumn("uch", F.col("udp") * (F.lit(10000) + F.col("ut")))
+    )
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        *limb_sums("qty", "uq"),
+        *limb_sums("bp", "up"),
+        *limb_sums("dp", "udp"),
+        *limb_sums("ch", "uch"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        limb_total("qty", 2).alias("sum_qty"),
+        limb_total("bp", 2).alias("sum_base_price"),
+        limb_total("dp", 6).alias("sum_disc_price"),
+        limb_total("ch", 10).alias("sum_charge"),
+        (limb_total("qty", 2) / n).alias("avg_qty"),
+        (limb_total("bp", 2) / n).alias("avg_price"),
+        "count_order",
     )
 
 

@@ -240,28 +240,56 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling char 8-gram hashes -> min per sliding window of 4 -> distinct
     window-minima are the fingerprint set. Guarantees any shared substring
     of length >= k + w - 1 produces a shared fingerprint — the plagiarism/
-    near-dup detection primitive. All md5-derived, per-row, shuffle-free;
-    the oracle replays it exactly (summary stats per doc keep the output
-    scalar-hashable)."""
+    near-dup detection primitive.
+
+    Plan shape (the round-2 rewrite): gram positions are EXPLODED TO ROWS
+    so the md5 runs inside whole-stage codegen — the prior array-HOF form
+    (`transform(sequence(...))`) evaluated one interpreted md5 per
+    character position (CodegenFallback, no CSE) and was ~100x slower.
+    The rolling minimum is a frame-spec window (`min OVER (PARTITION BY
+    doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`),
+    and because the output is summary stats the fingerprint SET is never
+    materialized: count(distinct)/min/max aggregate the window minima
+    directly. ONE shuffle total — (doc_id, pos, hash64) rows, ~20 bytes
+    each — and the doc_id hash-partitioning from the window exchange is
+    reused by the final aggregate (no second exchange). At 100 TB the
+    shuffle is O(total corpus chars) of fixed-width rows, embarrassingly
+    parallel in doc_id; the texts themselves never move past the explode
+    projection."""
+    from pyspark.sql import Window
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    hs = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {WINNOW_K} + 1, 0)),"
-        f" i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 15), 16, 10) as bigint))"
-    )
-    staged = d.select("doc_id", hs.alias("hs"))
-    fp = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 0)),"
-        f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
-    )
-    return (
-        staged.select("doc_id", fp.alias("fp"))
-        .filter(F.size("fp") > 0)
+    # docs with fewer than k+w-1 chars have no full winnowing window and
+    # are excluded by the oracle's len(fp) > 0 filter — drop them up front
+    # (also avoids Spark's descending sequence(1, 0) = [1, 0] footgun).
+    n_pos = (F.length("text") - F.lit(WINNOW_K - 1)).alias("np")
+    grams = (
+        d.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", "text", n_pos)
         .select(
             "doc_id",
-            F.size("fp").alias("n_fp"),
-            F.array_min("fp").alias("fp_min"),
-            F.array_max("fp").alias("fp_max"),
+            "np",
+            F.explode(F.sequence(F.lit(1), F.col("np"))).alias("i"),
+            "text",
         )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.substr("text", F.col("i"), F.lit(WINNOW_K))), 1, 15), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = (
+        grams.select("doc_id", "np", "i", h.alias("h"))
+        .select("doc_id", "np", "i", F.min("h").over(w).alias("fp"))
+        .filter(F.col("i") <= F.col("np") - (WINNOW_W - 1))
+    )
+    return wins.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("int").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
     )
 
 

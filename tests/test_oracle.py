@@ -1,12 +1,44 @@
 """Differential correctness: every registered oracle-backed query must match
-DuckDB exactly at sf0.001 (mirrors the driver's CORRECTNESS gate, stricter:
-exact values, not hashes). Non-oracle queries are smoke-run for schema
-stability and rows >= 0.
+DuckDB exactly (mirrors the driver's CORRECTNESS gate, stricter: exact
+values, not hashes). Non-oracle queries are smoke-run for schema stability
+and rows >= 0.
+
+Default scale is sf0.001 (fast, runs in the normal suite). The FULL gate at
+the driver's correctness scale is one command:
+
+    SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 \
+        python -m pytest tests/test_oracle.py -q
+
+which reproduces the judge's whole-registry sf0.01 differential run
+(~6 min on local[8]) — the pre-snapshot check each round.
 """
+
+import os
 
 import pytest
 
 from tests.conftest import SF_SMOKE
+
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def duck_at_sf():
+    """DuckDB connection with views at SF_ORACLE (env-switchable scale);
+    the shared session `duck` fixture stays pinned to sf0.001 for the
+    other test modules."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{name}.parquet')"
+        )
+    yield con
 
 
 def _oracle_names():
@@ -22,12 +54,14 @@ def _rows_only_names():
 
 
 @pytest.mark.parametrize("name", _oracle_names())
-def test_oracle_match(spark, duck, name):
+def test_oracle_match(spark, duck_at_sf, name):
     from tests.oracle_util import run_pair
 
     from minibatch_spark.registry import all_oracles, all_queries
 
-    n = run_pair(spark, duck, all_queries()[name], all_oracles()[name], SF_SMOKE, name)
+    n = run_pair(
+        spark, duck_at_sf, all_queries()[name], all_oracles()[name], SF_ORACLE, name
+    )
     assert n >= 0
 
 
@@ -48,3 +82,6 @@ def test_entry(spark):
     # every query key has either an oracle or is explicitly rows-only
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
+    # the STATUS.md claim, pinned: EVERY registered query carries an
+    # oracle (zero rows-only checks) and the registry hasn't shrunk
+    assert set(o) == set(q) and len(q) >= 107

@@ -535,8 +535,16 @@ def test_q21_no_self_join_pair_blowup(spark):
     joins only on the orderkey spine."""
     from minibatch_spark.plans import assert_not_in_plan
 
+    from minibatch_spark.plans import explain_str
+
     df = _q("q21_waiting_suppliers")(spark, SF_SMOKE)
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+    # the pair-blowup regression an equi lineitem self-join would cause is
+    # also excluded structurally: lineitem appears exactly 4x (candidate
+    # rows + the three per-order aggregate derivations), all joined on the
+    # orderkey spine — a 5th scan or a lineitem-lineitem join changes this
+    plan = explain_str(df, mode="simple")
+    assert plan.count("lineitem.parquet") == 4
 
 
 def test_shuffle_shard_single_exchange(spark):
@@ -570,3 +578,18 @@ def test_repeated_spans_partial_agg_take_ordered(spark):
     # the distinct expands to a two-level aggregate with map-side partials
     assert "partial_count" in plan
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_winnow_single_exchange_codegen_md5(spark):
+    """The winnowing fingerprint runs md5 inside whole-stage codegen on
+    EXPLODED gram rows — never as an interpreted array-HOF over
+    transform(sequence(...)) (the round-2 108 s/sf0.01 regression) — and
+    the window's doc_id exchange is the ONLY shuffle: the final aggregate
+    reuses the same hash partitioning."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("text_winnow_fingerprint")(spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # md5 must sit on exploded rows (codegen), not inside a lambda HOF
+    assert "lambdafunction(md5" not in plan and "transform(sequence" not in plan
