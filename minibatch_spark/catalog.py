@@ -117,6 +117,7 @@ def stage(df: DataFrame, name: str, durable: bool | None = None) -> DataFrame:
         # eager: force the blocks NOW so N concurrent downstream consumers
         # hit the cache instead of racing to compute the same partitions
         cached.count()
+        cached._mbs_stage_durable = False  # see stage_is_live
         return cached
     import shutil
     import time
@@ -138,7 +139,25 @@ def stage(df: DataFrame, name: str, durable: bool | None = None) -> DataFrame:
         pass
     path = os.path.join(SCRATCH_DIR, f"{name}-{pid}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    staged = df.sparkSession.read.parquet(path)
+    staged._mbs_stage_durable = True
+    return staged
+
+
+def stage_is_live(df: DataFrame | None) -> bool:
+    """True when a frame returned by stage() still delivers its
+    materialized-once guarantee. A durable stage always does (the parquet
+    is on disk); a persist-tier stage goes stale if something called
+    ``spark.catalog.clearCache()``/unpersist since — re-using it then
+    silently recomputes the whole upstream once PER CONSUMER, which is
+    exactly what stage() exists to prevent. Memo caches holding staged
+    frames (e.g. the shared shingle table) must re-stage in that case."""
+    if df is None:
+        return False
+    if getattr(df, "_mbs_stage_durable", False):
+        return True
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk)
 
 
 class Catalog:

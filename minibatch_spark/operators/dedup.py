@@ -82,9 +82,11 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no second pass over the raw text."""
     import os as _os
 
+    from minibatch_spark.catalog import stage_is_live
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_TABLE_CACHE.get(key)
-    if df is None:
+    if not stage_is_live(df):  # never built, or clearCache dropped it
         d = spread(load_table(spark, sf_dir, "documents"))
         built = (
             d.select(

@@ -152,6 +152,15 @@ def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
         "_CountWindowTWS", (_CountWindowProcessor, StatefulProcessor), {}
     )
     proc = proc_cls(size)
+    # TWS state lives in named column families, which only the RocksDB
+    # provider supports (HDFSBackedStateStoreProvider hard-errors).
+    # Session-level conf, picked up at query start; rocksdbjni ships in
+    # the Spark 4 distribution so this holds on a bare cluster too.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
     src = spark.readStream.schema(SPARK_DDL).parquet(stream.buffer_dir)
     return src.groupBy("stream").transformWithStateInPandas(
         statefulProcessor=proc,

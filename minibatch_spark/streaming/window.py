@@ -78,6 +78,16 @@ class Window:
         return len(self.data)
 
 
+def _run_pickled_emit(payload: bytes):
+    """Child-process entry for executor='process': unpickle (fn, Window),
+    run the user fn, return its result (which must be stdlib-picklable to
+    travel back). Module-level so ProcessPoolExecutor can address it."""
+    from pyspark import cloudpickle
+
+    fn, win = cloudpickle.loads(payload)
+    return fn(win) if fn else win.data
+
+
 class WindowEmitter:
     """Base emitter: consumes the stream's buffer as a file-source
     StreamingQuery and applies the strategy per micro-batch.
@@ -100,6 +110,7 @@ class WindowEmitter:
         clean_source: bool = True,
         name: Optional[str] = None,
         workers: Optional[int] = None,
+        executor: str = "thread",
         sink=None,
     ):
         self.stream = stream
@@ -125,7 +136,17 @@ class WindowEmitter:
         self.emit_errors: list[BaseException] = []  # async emit failures
         self.carry_meta: dict = {}
         self.workers = workers
-        self._pool = ThreadPoolExecutor(max_workers=workers) if workers else None
+        # executor='thread' (default): cheap dispatch, right for I/O-bound
+        # emit fns (sinks, HTTP). executor='process': the reference's
+        # ProcessPoolExecutor (minibatch/window.py:84) — real parallelism
+        # for CPU-bound Python emit fns the GIL would serialize on
+        # threads; the fn + Window cross via cloudpickle, the result
+        # returns to the parent, and ALL commit bookkeeping (persist,
+        # emitted log, sink forward) stays parent-side.
+        if executor not in ("thread", "process"):
+            raise ValueError(f"executor must be 'thread' or 'process', got {executor!r}")
+        self.executor = executor
+        self._pool = None  # created lazily; shut down by stop()/availableNow
         self._pending: list = []
         self._query = None
         self._stop_requested = threading.Event()
@@ -188,8 +209,26 @@ class WindowEmitter:
     def _dispatch_window(self, rows: list[dict]) -> None:
         """Run the emit fn inline (workers=None) or submit to the pool —
         the reference's executor.submit (minibatch/window.py:145-146)."""
-        if self._pool is None:
+        if not self.workers:
             self._emit_window(rows)
+            return
+        if self._pool is None:
+            if self.executor == "process":
+                from concurrent.futures import ProcessPoolExecutor
+
+                self._pool = ProcessPoolExecutor(max_workers=self.workers)
+            else:
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+        if self.executor == "process":
+            # the child runs ONLY the user fn; Window + fn travel via
+            # cloudpickle (closures/lambdas work), commit stays here
+            from pyspark import cloudpickle
+
+            self._drain_process_results(block=False)
+            win = self._build_window(rows)
+            payload = cloudpickle.dumps((self.emitfn, win))
+            fut = self._pool.submit(_run_pickled_emit, payload)
+            self._pending.append((fut, win, rows))
             return
         self._pending = [f for f in self._pending if not f.done()]
         fut = self._pool.submit(self._emit_window, rows)
@@ -204,20 +243,45 @@ class WindowEmitter:
             # minibatch/window.py:214-218)
             self.emit_errors.append(exc)
 
+    def _drain_process_results(self, block: bool) -> None:
+        """Complete finished process-pool emits in the CALLER thread (no
+        callback-thread races with run()'s return): collect the child's
+        result, then run the parent-side commit path."""
+        remaining = []
+        for fut, win, rows in self._pending:
+            if not (block or fut.done()):
+                remaining.append((fut, win, rows))
+                continue
+            exc = fut.exception()  # waits when block=True
+            if exc is not None:
+                self.emit_errors.append(exc)
+            else:
+                self._finish_emit(win, rows, fut.result())
+        self._pending = remaining
+
     def _await_emits(self) -> None:
+        if self.executor == "process":
+            self._drain_process_results(block=True)
+            return
         for f in list(self._pending):
             f.exception()  # wait; error already captured by callback
         self._pending = []
 
-    def _emit_window(self, rows: list[dict]) -> None:
+    def _build_window(self, rows: list[dict]) -> Window:
         data = [json.loads(r["data"]) for r in rows]
-        win = Window(
+        return Window(
             stream=self.stream.name,
             created=utcnow(),
             data=data,
             query=self.window_query(rows),
         )
+
+    def _emit_window(self, rows: list[dict]) -> None:
+        win = self._build_window(rows)
         result = self.emitfn(win) if self.emitfn else win.data
+        self._finish_emit(win, rows, result)
+
+    def _finish_emit(self, win: Window, rows: list[dict], result) -> None:
         # commit: keep=True persists the window (reference window.py:126-136)
         if self.keep:
             self._persist(win)
@@ -327,6 +391,7 @@ class WindowEmitter:
             self._query.awaitTermination()
             self._drain_final()
             self._await_emits()
+            self._shutdown_pool()
             return self
         self._start_flusher()
         if blocking:
@@ -348,11 +413,20 @@ class WindowEmitter:
                 self._dispatch_window(w)
             self._save_carry(rest, self.carry_meta)
 
+    def _shutdown_pool(self) -> None:
+        """Release worker threads/processes (a leaked ProcessPoolExecutor
+        leaves live children); the pool is rebuilt lazily if the emitter
+        runs again."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
     def stop(self) -> None:
         self._stop_requested.set()
         if self._query is not None:
             self._query.stop()
         self._await_emits()
+        self._shutdown_pool()
 
     @property
     def status(self) -> dict:

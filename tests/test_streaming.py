@@ -194,6 +194,50 @@ def test_workers_parallel_emit(spark, tmp_path):
     assert parallel < serial - 1.0, (serial, parallel)
 
 
+def _burn(w):
+    """CPU-bound emit fn (no sleeping): ~0.4s of pure Python arithmetic,
+    which the GIL serializes on threads but not on processes."""
+    acc = 0
+    for i in range(6_000_000):
+        acc = (acc + i * i) % 1_000_003
+    return acc
+
+
+def test_workers_process_emit_cpu_bound(spark, tmp_path):
+    """executor='process' parallelizes a CPU-BOUND emit fn (reference runs
+    emit fns in a real ProcessPoolExecutor, minibatch/window.py:84,145-146;
+    a thread pool only helps fns that block, not fns that compute). Same
+    1-vs-5 contract as above but with real work: 5 workers must claw back
+    a large fraction of the serial compute time. Also pins that commit
+    bookkeeping (emitted log, forward) happens parent-side: results come
+    back from the children."""
+    got = []
+
+    def run(workers, name):
+        s = _mk(tmp_path, name=name)
+        for i in range(10):
+            s.append({"i": i})
+        em = CountWindow(
+            s, emitfn=_burn, size=2, workers=workers,
+            executor="process", name=f"em-{name}",
+            forwardfn=got.append,
+        )
+        t0 = time.monotonic()
+        em.run(spark, available_now=True)
+        assert len(em.emitted) == 5
+        assert not em.emit_errors
+        return time.monotonic() - t0
+
+    serial = run(1, "p1")
+    parallel = run(5, "p5")
+    assert len(got) == 10  # forwarded results crossed back, both runs
+    assert all(isinstance(x, int) for x in got)
+    # 5 windows of CPU work: processes must beat the serial run by a
+    # margin threads cannot (GIL); require >=30% back to stay robust on
+    # a loaded host
+    assert parallel < serial * 0.7, (serial, parallel)
+
+
 def test_forward_to_sink(spark, tmp_path):
     """Emit results forward to the sink (reference forward/forwardfn,
     window.py:155-157)."""

@@ -330,17 +330,18 @@ def test_tws_count_window_invariant_and_restart(spark, tmp_path):
     contract as the applyInPandasWithState version — reference
     tests/test_minibatch.py:48-87).
 
-    SKIPS where the TWS state-server protocol's protobuf dependency is
-    broken (this container: `cannot import name 'descriptor'`); the
-    identical window contract is still pinned by the
-    applyInPandasWithState test above, which shares the chunking logic."""
+    The protobuf runtime TWS needs is wired up by compat.ensure_protobuf
+    (a vendored pure-Python runtime found on disk); SKIPS only where no
+    runtime can be found at all — the identical window contract is still
+    pinned by the applyInPandasWithState test above, which shares the
+    chunking logic."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf broken: transformWithState state "
-                    "server cannot start in this environment")
+    from minibatch_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available: "
+                    "transformWithState state server cannot start")
     from minibatch_spark.streaming.stateful import tws_count_window
 
     s = _mk(tmp_path, name="tws")
