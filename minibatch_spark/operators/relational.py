@@ -107,6 +107,17 @@ def limb_total(tag: str, scale: int) -> Column:
     return total.cast("decimal(20,6)").cast("double")
 
 
+def with_disc_price_unscaled(df: DataFrame, col: str = "udp") -> DataFrame:
+    """Append the scale-6 exact unscaled long for
+    l_extendedprice * (1 - l_discount) — the revenue measure shared by
+    Q3/Q5/Q7/Q10-style queries — ready for ``limb_sums(tag, col)``.
+    Same 2dp/4dp-exact money precondition as q1 (pinned per-row by
+    tests/test_oracle.py::test_q1_extraction_paths_agree_on_real_data)."""
+    up = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ud = F.round(F.col("l_discount") * 10000).cast("long")
+    return df.withColumn(col, up * (F.lit(10000) - ud))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5 — ABSENT in reference, README.rst:321)
 # ---------------------------------------------------------------------------
@@ -308,12 +319,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1997-06-30"))
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1997-06-30"))
-    revenue = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        with_disc_price_unscaled(l.join(o, l.l_orderkey == o.o_orderkey)
+                                 .join(F.broadcast(c), o.o_custkey == c.c_custkey))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(*limb_sums("rev", "udp"))
+        .select(
+            "l_orderkey", "o_orderdate", limb_total("rev", 6).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -350,8 +363,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
-    return (
+    joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(
@@ -360,8 +372,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"))
+    )
+    joined = with_disc_price_unscaled(joined)
+    return (
+        joined.groupBy("n_name")
+        .agg(*limb_sums("rev", "udp"))
+        .select("n_name", limb_total("rev", 6).alias("revenue"))
     )
 
 

@@ -85,3 +85,28 @@ def test_entry(spark):
     # the STATUS.md claim, pinned: EVERY registered query carries an
     # oracle (zero rows-only checks) and the registry hasn't shrunk
     assert set(o) == set(q) and len(q) >= 107
+
+
+def test_q1_extraction_paths_agree_on_real_data(spark):
+    """The q1 fast path extracts unscaled longs with round(x * 10^s); the
+    conservative path casts through DECIMAL. For money data exact at
+    2dp/4dp the two are provably identical — assert it per-row on the
+    actual sf0.01 lineitem so a future data regen that violates the
+    precondition fails HERE, not as an oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.relational import dmoney, drate, unscaled
+
+    l = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    pairs = [
+        (F.round(F.col("l_quantity") * 100).cast("long"), unscaled(dmoney("l_quantity"), 2)),
+        (F.round(F.col("l_extendedprice") * 100).cast("long"), unscaled(dmoney("l_extendedprice"), 2)),
+        (F.round(F.col("l_discount") * 10000).cast("long"), unscaled(drate("l_discount"), 4)),
+        (F.round(F.col("l_tax") * 10000).cast("long"), unscaled(drate("l_tax"), 4)),
+    ]
+    cond = None
+    for fast, conservative in pairs:
+        c = fast != conservative
+        cond = c if cond is None else (cond | c)
+    assert l.filter(cond).count() == 0

@@ -220,3 +220,53 @@ def test_fixed_time_window_buckets_exactly_once(batches, interval):
     out_seqs = [r["seq"] for w in emitted_windows for r in w]
     assert len(out_seqs) == len(set(out_seqs)), "row emitted twice"
     assert len(out_seqs) + em.late_dropped == total_rows, "row lost"
+
+
+# --- limb-sum exact money math (operators/relational.py) -------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),  # cents, <= 1e5 money
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([2, 6, 10]),
+)
+@settings(max_examples=200, deadline=None)
+def test_limb_decomposition_reconstructs_exact_sum(unscaled, scale):
+    """The 10^6-limb split/sum/recombine is EXACT for any set of
+    non-negative unscaled longs: sum(limb_k) recombined with 10^(6k-scale)
+    weights equals the true decimal sum. Mirrors limb_sums/limb_total
+    without a SparkSession (the Spark side is pinned by the q1 oracle)."""
+    from decimal import Decimal
+
+    B = 1_000_000
+    # scale-10 measures in q1 are products up to ~1e15; lift the samples
+    u = [x * (10**(10 - 7) if scale == 10 else 1) for x in unscaled]
+    l0 = sum(x % B for x in u)
+    l1 = sum((x // B) % B for x in u)
+    l2 = sum(x // B // B for x in u)
+    recombined = (
+        Decimal(l0) * Decimal(1).scaleb(-scale)
+        + Decimal(l1) * Decimal(1).scaleb(6 - scale)
+        + Decimal(l2) * Decimal(1).scaleb(12 - scale)
+    )
+    truth = Decimal(sum(u)).scaleb(-scale)
+    assert recombined == truth
+
+
+@given(st.integers(min_value=0, max_value=99_999_999))
+@settings(max_examples=300, deadline=None)
+def test_round_extraction_matches_decimal_cast(cents):
+    """q1's round(x*100) unscaled-long extraction agrees with the
+    conservative CAST(x AS DECIMAL(12,2)) path for every value exact at
+    2dp (the money-data precondition stated in the q1 docstring)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = cents / 100.0  # the double the parquet file would hold
+    via_round = round(x * 100)
+    via_decimal = int(
+        Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
+    )
+    assert via_round == via_decimal == cents
