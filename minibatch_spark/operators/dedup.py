@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import load_table, spread, stage
+from minibatch_spark.catalog import (
+    STAGE_DURABLE_DEFAULT,
+    load_table,
+    spread,
+    stage,
+)
 from minibatch_spark.registry import query
 
 N_MINHASH = 16  # permutations
@@ -615,6 +620,12 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    # ONE driver action per round: the label update carries its own
+    # changed-flag (nl < label), so materializing the round and counting
+    # convergence are the same job — the old shape (stage count + a
+    # separate old-vs-new join count) paid 2-3 fixed action latencies per
+    # round, which DOMINATED wall time at small diameters
+    prev = None
     for it in range(25):
         neigh = (
             edges.join(
@@ -624,25 +635,25 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("nlabel").alias("nl"))
         )
-        new = (
-            labels.join(neigh, labels.id == neigh.u, "left")
-            .select(
-                "id",
-                F.least(
-                    "label", F.coalesce("nl", F.col("label"))
-                ).alias("label"),
-            )
+        new = labels.join(neigh, labels.id == neigh.u, "left").select(
+            "id",
+            F.least("label", F.coalesce("nl", F.col("label"))).alias("label"),
+            (F.coalesce("nl", F.col("label")) < F.col("label")).alias("chg"),
         )
-        # per-iteration stage name: stage() reclaims earlier stages of the
-        # SAME name eagerly, and iteration i+1's plan still reads i's files
-        new = stage(new, f"cc-labels-{it % 2}")
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        if STAGE_DURABLE_DEFAULT:
+            # cluster tier: durable files truly cut lineage per round
+            # (per-iteration name ping-pong: stage() reclaims same-name
+            # stages eagerly and round i+1 still reads round i's files)
+            staged = stage(new, f"cc-labels-{it % 2}")
+        else:
+            from pyspark.storagelevel import StorageLevel
+
+            staged = new.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = staged.filter("chg").count()  # materializes + converges
+        if prev is not None:
+            prev.unpersist(False)  # superseded round's blocks
+        prev = staged
+        labels = staged.drop("chg")
         if changed == 0:
             break
     else:
