@@ -565,3 +565,111 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+PQ_M = 8  # subquantizers
+PQ_DSUB = 8  # dims per subvector (8 x 8 = the 64-dim corpus)
+PQ_K = 16  # codewords per subquantizer
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the full PQ pipeline: sampled codebook -> nearest-
+    codeword assignment per subvector -> query ADC lookup-sum -> top-10."""
+    return f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+    ), q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ), ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, ms.m, cb.k,
+             list_sum(list_transform(generate_series(1, {PQ_DSUB}),
+               i -> power(CAST(e.embedding[ms.m * {PQ_DSUB} + i] AS DOUBLE)
+                          - cb.cv[ms.m * {PQ_DSUB} + i], 2))) AS d2
+      FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, m, k AS code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+      FROM sub
+    ), adc AS (
+      SELECT ms.m, cb.k,
+             list_sum(list_transform(generate_series(1, {PQ_DSUB}),
+               i -> power(q.qv[ms.m * {PQ_DSUB} + i]
+                          - cb.cv[ms.m * {PQ_DSUB} + i], 2))) AS qd2
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    )
+    SELECT c.vec_id, ROUND(SUM(a.qd2), 6) AS adc_dist
+    FROM codes c JOIN adc a ON a.m = c.m AND a.k = c.code
+    WHERE c.rk = 1 AND c.vec_id <> (SELECT qid FROM q)
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, c.vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION ANN (Jegou et al., TPAMI'11) — the
+    memory-bounded scale path beside LSH banding and IVF: each vector is
+    compressed to PQ_M one-byte codes (nearest codeword per subvector),
+    and a query scores the whole corpus from an M x K lookup table of
+    precomputed subvector distances (Asymmetric Distance Computation) —
+    no original vectors touched at query time.
+
+    Why at 100 TB: the corpus' query-time footprint drops from
+    dim x 4 bytes to M bytes per vector (32x here), the code assignment
+    is one Arrow-batched pandas UDF pass (n x M x K x dsub numpy
+    broadcast per batch), and ADC scoring is a per-row lookup-sum in JVM
+    expressions feeding TakeOrderedAndProject — one corpus pass, no
+    shuffle before the final top-k. The codebook here is SAMPLED
+    deterministically (subvectors of the PQ_K lowest vec_ids) instead of
+    k-means-trained, which keeps the ENTIRE pipeline — codebook, code
+    assignment, ADC ranking — bit-replayable by the DuckDB oracle;
+    k-means training would only change the codebook-build step (a
+    bounded-size driver/sample job in either case).
+
+    The driver-side collect is PQ_K vectors (the codebook sample) — the
+    same |codebook| x dim bound as IVF's centroid probe, documented
+    there."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    head = e.orderBy("vec_id").select("vec_id", "embedding").limit(PQ_K).collect()
+    CB = np.array([r.embedding for r in head], dtype=np.float64)
+    cb_sub = CB.reshape(PQ_K, PQ_M, PQ_DSUB).transpose(1, 0, 2)  # M x K x dsub
+    qid = head[0].vec_id
+    qsub = CB[0].reshape(PQ_M, PQ_DSUB)
+
+    @pandas_udf("array<int>")
+    def pq_codes(emb: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb]).reshape(
+            -1, PQ_M, PQ_DSUB
+        )
+        d = ((V[:, :, None, :] - cb_sub[None, :, :, :]) ** 2).sum(-1)
+        codes = d.argmin(-1).astype("int32")  # ties -> lowest k, like the oracle
+        return pd.Series([c.tolist() for c in codes])
+
+    # query ADC lookup table: M x K doubles, inlined as a map literal
+    # (bounded by the codebook, never the corpus)
+    qd2 = ((qsub[:, None, :] - cb_sub) ** 2).sum(-1)
+    entries: list = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            entries += [F.lit(m * PQ_K + k), F.lit(float(qd2[m, k]))]
+    lut = F.create_map(*entries)
+
+    coded = e.select("vec_id", pq_codes("embedding").alias("codes")).filter(
+        F.col("vec_id") != qid
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(lut, (m * PQ_K + F.element_at("codes", m + 1)).cast("int")),
+    )
+    return (
+        coded.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

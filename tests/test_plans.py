@@ -593,3 +593,15 @@ def test_winnow_single_exchange_codegen_md5(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # md5 must sit on exploded rows (codegen), not inside a lambda HOF
     assert "lambdafunction(md5" not in plan and "transform(sequence" not in plan
+
+
+def test_pq_adc_take_ordered_no_shuffle_before_topk(spark):
+    """PQ ADC scoring is per-row (lookup-sum) feeding TakeOrderedAndProject
+    — one corpus pass, no exchange before the top-k, no global sort."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("ann_pq_topk")(spark, SF_SMOKE)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    plan = explain_str(df, mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
