@@ -64,7 +64,7 @@ def main() -> None:
         queries[w](spark, warmup_sf).collect()
     spark.catalog.clearCache()
 
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
