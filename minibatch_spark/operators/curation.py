@@ -227,3 +227,50 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CAP_PER_SOURCE = 40  # max documents kept per source
+
+
+@query(
+    "docs_cap_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5(source || '#' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {CAP_PER_SOURCE}
+    """,
+)
+def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source cap (deterministic distributed reservoir): every
+    source keeps at most CAP_PER_SOURCE(=40) documents, chosen by rank of
+    md5(source#doc_id) — a uniform, seedless, restart-reproducible draw
+    (same winners on every run and every executor, no RNG state to plumb
+    through retries). The dual of docs_sample_stratified: that one fixes
+    the RATE per source, this one fixes the COUNT — the "no domain may
+    exceed N documents" rule a mixing recipe applies to fat-head sources.
+
+    Plan shape: rk <= N over a window compiles to WindowGroupLimit — each
+    map task forwards at most N rows PER SOURCE into the single hash
+    exchange, so the shuffle carries O(#sources x N x #tasks) rows, not
+    the corpus: exactly the top-k-per-group shape that survives 100 TB.
+    No rand(), no sort of the full corpus, one exchange."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        h64(F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )

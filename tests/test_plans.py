@@ -605,3 +605,15 @@ def test_pq_adc_take_ordered_no_shuffle_before_topk(spark):
     plan = explain_str(df, mode="simple")
     assert "Exchange hashpartitioning" not in plan
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_cap_per_source_window_group_limit(spark):
+    """rk <= N compiles to WindowGroupLimit: each map task forwards at
+    most N rows per source into the single hash exchange — the shuffle
+    carries O(#sources x N x #tasks), never the corpus."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("docs_cap_per_source")(spark, SF_SMOKE)
+    assert_in_plan(df, "WindowGroupLimit")
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
