@@ -8,7 +8,10 @@ row-at-a-time.
 
 Grouped by origin:
 - numeric determinism: ``dmoney/drate/dsum`` (exact decimal money math,
-  engine-independent — operators/relational.py)
+  engine-independent) and the limb-sum fast path
+  ``unscaled/limb_sums/limb_total/with_disc_price_unscaled`` (exact
+  decimal totals computed as whole-stage-codegen long sums —
+  operators/relational.py)
 - hashing: ``h64`` (md5-derived 60-bit, reproducible in any engine)
 - text: ``tokens/shingles/minhash_sig/fast_minhash_sig/shingle_hashes``
   (operators/dedup.py), plus the text-statistics builders in
@@ -32,6 +35,10 @@ from minibatch_spark.operators.relational import (  # noqa: F401
     dmoney,
     drate,
     dsum,
+    limb_sums,
+    limb_total,
+    unscaled,
+    with_disc_price_unscaled,
 )
 from minibatch_spark.catalog import zorder_value  # noqa: F401
 from minibatch_spark.operators.similarity import (  # noqa: F401
@@ -47,6 +54,10 @@ __all__ = [
     "dmoney",
     "drate",
     "dsum",
+    "unscaled",
+    "limb_sums",
+    "limb_total",
+    "with_disc_price_unscaled",
     "h64",
     "tokens",
     "shingles",
