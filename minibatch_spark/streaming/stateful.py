@@ -168,3 +168,104 @@ def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
         outputMode="append",
         timeMode="none",
     )
+
+
+TIME_OUTPUT_DDL = "stream string, window_start timestamp, n long, data_json string"
+
+
+class _TimeWindowProcessor:
+    """Event-time tumbling windows closed by TWS TIMERS — the capability
+    the reference's FixedTimeWindow approximates with a driver-side
+    wall-clock flusher thread (minibatch/window.py:252-256) and the
+    foreachBatch port mirrors the same way. Here the engine itself closes
+    windows: each incoming row lands in its floor(event_time/interval)
+    bucket (ValueState, checkpoint-versioned) and registers an event-time
+    timer at the bucket end; when the WATERMARK passes a timer, Spark
+    calls handleExpiredTimer on the owning key's partition and the bucket
+    emits — no driver thread, no clock races, per-key parallel at any
+    number of streams, and late rows for a closed bucket simply create no
+    state (the watermark already passed; the drop is the same contract as
+    FixedTimeWindow's high-water guard)."""
+
+    def __init__(self, interval_ms: int):
+        self.interval_ms = interval_ms
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self._buckets = handle.getValueState("buckets", "b string")
+
+    def _load(self) -> dict:
+        got = self._buckets.get()
+        return json.loads(got[0]) if got and got[0] else {}
+
+    def handleInputRows(self, key, rows, timerValues):
+        buckets = self._load()
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["created", "seq"])
+            for created, data in zip(batch["created"], batch["data"]):
+                ms = int(pd.Timestamp(created).value // 1_000_000)
+                b = ms - ms % self.interval_ms
+                buckets.setdefault(str(b), []).append(data)
+                # idempotent enough: a duplicate timer on an already-
+                # emptied bucket fires into a no-op
+                self.handle.registerTimer(b + self.interval_ms)
+        self._buckets.update((json.dumps(buckets),))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        buckets = self._load()
+        out = []
+        for bs in sorted(buckets, key=int):
+            if int(bs) + self.interval_ms <= expiry:
+                rows = buckets.pop(bs)
+                out.append(
+                    (
+                        key[0],
+                        pd.Timestamp(int(bs), unit="ms"),
+                        len(rows),
+                        json.dumps(rows),
+                    )
+                )
+        self._buckets.update((json.dumps(buckets),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["stream", "window_start", "n", "data_json"]
+            )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_time_window(stream: Stream, spark, interval_seconds: float) -> "DataFrame":
+    """Tumbling event-time windows per stream key, closed by engine
+    timers (transformWithStateInPandas, timeMode='eventtime'). The
+    watermark (0s delay: the reference drops late rows rather than wait,
+    minibatch/window.py:258-262) drives timer expiry; buckets live in the
+    checkpointed state store, so restarts resume with open buckets
+    intact — the FixedTimeWindow contract with zero driver-side
+    machinery."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    proc_cls = type("_TimeWindowTWS", (_TimeWindowProcessor, StatefulProcessor), {})
+    proc = proc_cls(int(interval_seconds * 1000))
+    src = (
+        spark.readStream.schema(SPARK_DDL)
+        .parquet(stream.buffer_dir)
+        .withWatermark("created", "0 seconds")
+    )
+    return src.groupBy("stream").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TIME_OUTPUT_DDL,
+        outputMode="append",
+        timeMode="eventtime",
+    )

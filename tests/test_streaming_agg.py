@@ -371,3 +371,47 @@ def test_tws_count_window_invariant_and_restart(spark, tmp_path):
     ]
     flat = [json.loads(d)["i"] for w in seen for d in w]
     assert flat == list(range(10))  # every message exactly once, in order
+
+
+def test_tws_time_window_timers_close_buckets(spark, tmp_path):
+    """Event-time tumbling windows closed by TWS TIMERS (the engine-side
+    replacement for the reference's driver wall-clock flusher,
+    minibatch/window.py:252-256): buckets emit when the WATERMARK passes
+    their end — across runs, from checkpointed state. Timeline (10s
+    interval): run 1 loads buckets [0,10) and [10,20); run 2 appends an
+    event at +25, whose watermark closes both earlier buckets."""
+    import pytest
+
+    from minibatch_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available")
+    from minibatch_spark.streaming.stateful import tws_time_window
+
+    s = _mk(tmp_path, name="twstime")
+    ckpt = os.path.join(str(tmp_path), "ckpt-twstime")
+    sink = os.path.join(str(tmp_path), "sink-twstime")
+    for sec, v in [(1, "a"), (3, "b"), (12, "c")]:
+        s.append({"v": v}, created=T0 + timedelta(seconds=sec))
+    s.flush()
+    run_available_now(
+        tws_time_window(s, spark, 10), ckpt, sink_dir=sink, query_name="tw1"
+    )
+    first = {r.window_start: r for r in read_sink(spark, sink).collect()}
+
+    s.append({"v": "d"}, created=T0 + timedelta(seconds=25))
+    s.flush()
+    run_available_now(
+        tws_time_window(s, spark, 10), ckpt, sink_dir=sink, query_name="tw2"
+    )
+    rows = {r.window_start: r for r in read_sink(spark, sink).collect()}
+    b0, b1 = T0, T0 + timedelta(seconds=10)
+    assert b0 in rows and b1 in rows  # both earlier buckets closed
+    assert rows[b0].n == 2 and rows[b1].n == 1
+    vals0 = [json.loads(d)["v"] for d in json.loads(rows[b0].data_json)]
+    vals1 = [json.loads(d)["v"] for d in json.loads(rows[b1].data_json)]
+    assert vals0 == ["a", "b"] and vals1 == ["c"]
+    # the open [20,30) bucket (event "d") must NOT have emitted
+    assert T0 + timedelta(seconds=20) not in rows
+    # run 1 could legitimately emit bucket0 already (watermark hit +12)
+    assert set(first) <= {b0}
