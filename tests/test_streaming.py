@@ -18,6 +18,8 @@ deterministic replacement for the reference's sleep-based polling loops.
 import time
 from datetime import datetime, timedelta
 
+import pytest
+
 from minibatch_spark.streaming.api import make_emitter, streaming
 from minibatch_spark.streaming.app import StreamingApp
 from minibatch_spark.streaming.models import Stream
@@ -565,3 +567,44 @@ def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
         key=_json.dumps,
     )
     assert datas == [{"i": 0}, {"i": 1}, {"i": 2}, {"i": 3}]
+
+
+@pytest.mark.slow
+def test_sustained_throughput_latency_contract(spark, tmp_path):
+    """The reference's CI-asserted performance bounds (BASELINE.md), on
+    the live (non-availableNow) trigger loop:
+
+    - 100 docs consumed as 10 windows of 10 within 15 s wall (reference
+      tests/test_mongodb.py:28-33);
+    - bounded insert->receive latency (reference tests/test_mongodb.py:
+      35-44 asserts <1 s against a local-MongoDB 0.1 s poller; the
+      micro-batch analog pays query-startup + trigger latency, so the
+      bound here is avg < 10 s — same contract, engine-appropriate
+      constant)."""
+    import time as _t
+
+    s = _mk(tmp_path, name="tput")
+    recv: dict = {}
+
+    def emit(w):
+        t = _t.monotonic()
+        for d in w.data:
+            recv[d["i"]] = t
+
+    em = CountWindow(s, emitfn=emit, size=10, name="em-tput")
+    em.run(spark, blocking=False, trigger_seconds=0.2)
+    try:
+        sent = {}
+        for i in range(100):
+            sent[i] = _t.monotonic()
+            s.append({"i": i})
+        s.flush()
+        deadline = _t.monotonic() + 15
+        while len(recv) < 100 and _t.monotonic() < deadline:
+            _t.sleep(0.1)
+        assert len(recv) == 100, f"only {len(recv)}/100 messages within 15s"
+        lat = [recv[i] - sent[i] for i in range(100)]
+        assert sum(lat) / len(lat) < 10.0, f"avg latency {sum(lat)/len(lat):.2f}s"
+        assert len(em.emitted) == 10 and not em.emit_errors
+    finally:
+        em.stop()
