@@ -131,8 +131,14 @@ def stage(df: DataFrame, name: str, durable: bool | None = None) -> DataFrame:
         now = time.time()
         for old in os.listdir(SCRATCH_DIR):
             full = os.path.join(SCRATCH_DIR, old)
+            # reclaim this process's earlier stages of the same name, and
+            # OTHER processes' stages older than an hour (dead runs). Our
+            # own differently-named stages are never age-reclaimed — a
+            # session past the 1h mark may still be reading them (the
+            # durable tier memoizes staged frames across queries).
+            ours = f"-{pid}-" in old
             if old.startswith(f"{name}-{pid}-") or (
-                now - os.path.getmtime(full) > 3600
+                not ours and now - os.path.getmtime(full) > 3600
             ):
                 shutil.rmtree(full, ignore_errors=True)
     except FileNotFoundError:

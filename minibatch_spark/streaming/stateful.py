@@ -129,6 +129,26 @@ class _CountWindowProcessor:
         pass
 
 
+
+
+def _require_rocksdb_state_store(spark) -> None:
+    """TWS state lives in named column families, which only the RocksDB
+    provider supports (HDFSBackedStateStoreProvider hard-errors); the
+    conf is session-wide and read at query START. NOTE the blast radius:
+    every streaming query started in this session afterwards uses RocksDB
+    too. New queries are unaffected semantically (RocksDB is a superset
+    and the Spark-recommended production provider), but a query being
+    RESTARTED from a checkpoint written under the default provider must
+    keep its original provider — run such mixed workloads in separate
+    sessions, or restore the previous conf value after .start().
+    rocksdbjni ships in the Spark 4 distribution, so this holds on a
+    bare cluster."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+
 def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
     """``stateful_count_window`` on the transformWithStateInPandas API —
     Spark 4's arbitrary-state operator (the successor to
@@ -152,15 +172,7 @@ def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
         "_CountWindowTWS", (_CountWindowProcessor, StatefulProcessor), {}
     )
     proc = proc_cls(size)
-    # TWS state lives in named column families, which only the RocksDB
-    # provider supports (HDFSBackedStateStoreProvider hard-errors).
-    # Session-level conf, picked up at query start; rocksdbjni ships in
-    # the Spark 4 distribution so this holds on a bare cluster too.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider",
-    )
+    _require_rocksdb_state_store(spark)
     src = spark.readStream.schema(SPARK_DDL).parquet(stream.buffer_dir)
     return src.groupBy("stream").transformWithStateInPandas(
         statefulProcessor=proc,
@@ -203,12 +215,18 @@ class _TimeWindowProcessor:
         chunks = [pdf for pdf in rows if len(pdf)]
         if chunks:
             batch = pd.concat(chunks).sort_values(["created", "seq"])
+            touched = set()
             for created, data in zip(batch["created"], batch["data"]):
                 ms = int(pd.Timestamp(created).value // 1_000_000)
                 b = ms - ms % self.interval_ms
                 buckets.setdefault(str(b), []).append(data)
-                # idempotent enough: a duplicate timer on an already-
-                # emptied bucket fires into a no-op
+                touched.add(b)
+            # one registerTimer per DISTINCT bucket, not per row — each
+            # call is a protobuf round-trip to the state server, and a
+            # 10k-row batch in one bucket must not issue 10k identical
+            # RPCs. A re-registered timer on an already-emptied bucket
+            # fires into a no-op, so re-touching a bucket stays safe.
+            for b in touched:
                 self.handle.registerTimer(b + self.interval_ms)
         self._buckets.update((json.dumps(buckets),))
         return iter(())
@@ -251,11 +269,7 @@ def tws_time_window(stream: Stream, spark, interval_seconds: float) -> "DataFram
     machinery."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider",
-    )
+    _require_rocksdb_state_store(spark)
     proc_cls = type("_TimeWindowTWS", (_TimeWindowProcessor, StatefulProcessor), {})
     proc = proc_cls(int(interval_seconds * 1000))
     src = (

@@ -153,7 +153,9 @@ class WindowEmitter:
         # one lock serializes strategy state between the micro-batch
         # handler (Spark's stream-execution thread) and the wall-clock
         # flusher thread (FixedTimeWindow)
-        self._emit_lock = threading.Lock()
+        # RLock: _dispatch_window runs under it and (process mode) also
+        # drains finished emits, which re-acquires from done-callbacks
+        self._emit_lock = threading.RLock()
         self._flusher: Optional[threading.Thread] = None
 
     # -- carry state (CountWindow remainder, FixedTimeWindow high-water),
@@ -214,9 +216,17 @@ class WindowEmitter:
             return
         if self._pool is None:
             if self.executor == "process":
+                import multiprocessing
                 from concurrent.futures import ProcessPoolExecutor
 
-                self._pool = ProcessPoolExecutor(max_workers=self.workers)
+                # spawn, never fork: the driver is a multithreaded,
+                # JVM-attached process (py4j, Arrow, logging threads) —
+                # forking it mid-micro-batch can deadlock children on
+                # inherited locks
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                )
             else:
                 self._pool = ThreadPoolExecutor(max_workers=self.workers)
         if self.executor == "process":
@@ -229,6 +239,18 @@ class WindowEmitter:
             payload = cloudpickle.dumps((self.emitfn, win))
             fut = self._pool.submit(_run_pickled_emit, payload)
             self._pending.append((fut, win, rows))
+            # prompt commit even if the stream then goes quiet: when the
+            # child finishes, drain from the callback thread. BEST-EFFORT
+            # (non-blocking lock attempt): this callback runs on the
+            # pool's result-delivery thread — if it blocked on the lock
+            # while a blocking drain holds it awaiting further futures,
+            # result delivery itself would stall: deadlock. A skipped
+            # callback is always covered by the next dispatch or stop().
+            fut.add_done_callback(
+                lambda _f: self._drain_process_results(
+                    block=False, best_effort=True
+                )
+            )
             return
         self._pending = [f for f in self._pending if not f.done()]
         fut = self._pool.submit(self._emit_window, rows)
@@ -243,21 +265,31 @@ class WindowEmitter:
             # minibatch/window.py:214-218)
             self.emit_errors.append(exc)
 
-    def _drain_process_results(self, block: bool) -> None:
-        """Complete finished process-pool emits in the CALLER thread (no
-        callback-thread races with run()'s return): collect the child's
-        result, then run the parent-side commit path."""
-        remaining = []
-        for fut, win, rows in self._pending:
-            if not (block or fut.done()):
-                remaining.append((fut, win, rows))
-                continue
-            exc = fut.exception()  # waits when block=True
-            if exc is not None:
-                self.emit_errors.append(exc)
-            else:
-                self._finish_emit(win, rows, fut.result())
-        self._pending = remaining
+    def _drain_process_results(self, block: bool, best_effort: bool = False) -> None:
+        """Complete finished process-pool emits: collect each child's
+        result, then run the parent-side commit path. Serialized by
+        _emit_lock — dispatch (stream-execution thread), the wall-clock
+        flusher, pool done-callbacks, and stop() all drain, and an
+        unlocked interleave could commit a window twice or drop a
+        just-appended pending entry. best_effort=True (the done-callback
+        path) skips when contended instead of waiting — whoever holds the
+        lock is draining already."""
+        if not self._emit_lock.acquire(blocking=not best_effort):
+            return
+        try:
+            remaining = []
+            for fut, win, rows in self._pending:
+                if not (block or fut.done()):
+                    remaining.append((fut, win, rows))
+                    continue
+                exc = fut.exception()  # waits when block=True
+                if exc is not None:
+                    self.emit_errors.append(exc)
+                else:
+                    self._finish_emit(win, rows, fut.result())
+            self._pending = remaining
+        finally:
+            self._emit_lock.release()
 
     def _await_emits(self) -> None:
         if self.executor == "process":
