@@ -88,7 +88,8 @@ class _CountWindowProcessor:
     ``stateful_count_window``. Same contract, richer state model: the
     remainder and the window ordinal live in named, typed state variables
     (``getValueState``) instead of one packed tuple, and the API adds
-    timers/TTL hooks (unused here) that the old API lacks.
+    timers/TTL hooks the old API lacks (exercised by the sibling
+    ``_TimeWindowProcessor``, which closes event-time buckets on timers).
     """
 
     def __init__(self, size: int):
