@@ -92,11 +92,17 @@ class _CountWindowProcessor:
     ``_TimeWindowProcessor``, which closes event-time buckets on timers).
     """
 
-    def __init__(self, size: int):
+    def __init__(self, size: int, state_ttl_ms: int | None = None):
         self.size = size
+        self.state_ttl_ms = state_ttl_ms
 
     def init(self, handle) -> None:
-        self._pending = handle.getValueState("pending", "rows string")
+        # TTL on the REMAINDER only: a stale partial window is abandoned
+        # after the TTL (the engine evicts the state), while the window
+        # ordinal survives so later windows keep monotonic ids
+        self._pending = handle.getValueState(
+            "pending", "rows string", ttlDurationMs=self.state_ttl_ms
+        )
         self._next = handle.getValueState("next_window", "w long")
 
     def handleInputRows(self, key, rows, timerValues):
@@ -150,11 +156,20 @@ def _require_rocksdb_state_store(spark) -> None:
         "state.RocksDBStateStoreProvider",
     )
 
-def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
+def tws_count_window(
+    stream: Stream, spark, size: int, state_ttl_ms: int | None = None
+) -> "DataFrame":
     """``stateful_count_window`` on the transformWithStateInPandas API —
     Spark 4's arbitrary-state operator (the successor to
     applyInPandasWithState). Identical window semantics; kept alongside
     the old-API version so both state backends are exercised.
+
+    ``state_ttl_ms``: optional state TTL (the W12 retention contract on
+    engine state instead of buffer files — reference TTL housekeeping,
+    minibatch/models.py:327-338): a partial-window remainder that sees no
+    new data for the TTL is EVICTED by the state store, so permanently
+    quiet keys cannot accumulate state forever at 1000-stream scale.
+    Requires processing-time mode (the TTL clock), enabled automatically.
 
     Runtime requirements beyond the old API (why the test may skip):
     - RocksDB state store (``spark.sql.streaming.stateStore.providerClass
@@ -172,14 +187,14 @@ def tws_count_window(stream: Stream, spark, size: int) -> "DataFrame":
     proc_cls = type(
         "_CountWindowTWS", (_CountWindowProcessor, StatefulProcessor), {}
     )
-    proc = proc_cls(size)
+    proc = proc_cls(size, state_ttl_ms)
     _require_rocksdb_state_store(spark)
     src = spark.readStream.schema(SPARK_DDL).parquet(stream.buffer_dir)
     return src.groupBy("stream").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=OUTPUT_DDL,
         outputMode="append",
-        timeMode="none",
+        timeMode="processingtime" if state_ttl_ms else "none",
     )
 
 

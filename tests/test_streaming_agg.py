@@ -415,3 +415,75 @@ def test_tws_time_window_timers_close_buckets(spark, tmp_path):
     assert T0 + timedelta(seconds=20) not in rows
     # run 1 could legitimately emit bucket0 already (watermark hit +12)
     assert set(first) <= {b0}
+
+
+def test_tws_state_ttl_abandons_stale_remainder(spark, tmp_path):
+    """state_ttl_ms: a partial-window remainder evicts after the TTL (the
+    reference's TTL housekeeping, models.py:327-338, applied to engine
+    state): 3 msgs / size=2 leave a remainder of 1; after the TTL
+    elapses, a 4th message does NOT complete a window with the evicted
+    remainder. The control run without TTL completes it. Uses a live
+    processing-time trigger (TTL needs the processing-time clock;
+    availableNow never terminates in that mode) and polls the sink."""
+    import time as _t
+
+    import pytest
+
+    from minibatch_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available")
+    from minibatch_spark.streaming.stateful import tws_count_window
+
+    def run_scenario(name, ttl):
+        s = _mk(tmp_path, name=name)
+        sink = os.path.join(str(tmp_path), f"sink-{name}")
+        for i in range(3):
+            s.append({"i": i}, created=T0 + timedelta(seconds=i))
+        s.flush()
+        q = (
+            tws_count_window(s, spark, size=2, state_ttl_ms=ttl)
+            .writeStream.outputMode("append")
+            .queryName(f"q-{name}")
+            .trigger(processingTime="300 milliseconds")
+            .option(
+                "checkpointLocation", os.path.join(str(tmp_path), f"ck-{name}")
+            )
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+
+        def rows():
+            try:
+                return sorted(
+                    spark.read.parquet(sink).collect(),
+                    key=lambda r: r.window_id,
+                )
+            except Exception:
+                return []
+
+        try:
+            deadline = _t.monotonic() + 30
+            while len(rows()) < 1 and _t.monotonic() < deadline:
+                _t.sleep(0.3)
+            assert len(rows()) == 1, f"{name}: first window missing"
+            _t.sleep(2.0)  # TTL (500 ms) elapses in processing time
+            s.append({"i": 3}, created=T0 + timedelta(seconds=10))
+            s.flush()
+            want = 2 if ttl is None else 1
+            deadline = _t.monotonic() + 30
+            while len(rows()) < want and _t.monotonic() < deadline:
+                _t.sleep(0.3)
+            _t.sleep(1.5)  # settle: prove no EXTRA window appears
+            return [
+                [json.loads(d)["i"] for d in json.loads(r.data_json)]
+                for r in rows()
+            ]
+        finally:
+            q.stop()
+
+    # control: no TTL -> remainder 2 completes with msg 3
+    assert run_scenario("ttl-off", None) == [[0, 1], [2, 3]]
+    # TTL: remainder 2 evicted; msg 3 starts a new partial window
+    assert run_scenario("ttl-on", 500) == [[0, 1]]
