@@ -136,7 +136,12 @@ def stage(df: DataFrame, name: str, durable: bool | None = None) -> DataFrame:
             # own differently-named stages are never age-reclaimed — a
             # session past the 1h mark may still be reading them (the
             # durable tier memoizes staged frames across queries).
-            ours = f"-{pid}-" in old
+            # parse the pid POSITIONALLY from the {name}-{pid}-{uuid}
+            # layout (stage names may themselves contain '-'; a substring
+            # test would exempt other runs' dirs whose name embeds this
+            # pid and leak them forever)
+            parts = old.rsplit("-", 2)
+            ours = len(parts) == 3 and parts[1] == str(pid)
             if old.startswith(f"{name}-{pid}-") or (
                 not ours and now - os.path.getmtime(full) > 3600
             ):

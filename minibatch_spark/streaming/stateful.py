@@ -101,7 +101,7 @@ class _CountWindowProcessor:
         # after the TTL (the engine evicts the state), while the window
         # ordinal survives so later windows keep monotonic ids
         self._pending = handle.getValueState(
-            "pending", "rows string", ttlDurationMs=self.state_ttl_ms
+            "pending", "rows string", ttlDurationMs=self.state_ttl_ms or None
         )
         self._next = handle.getValueState("next_window", "w long")
 
@@ -187,6 +187,9 @@ def tws_count_window(
     proc_cls = type(
         "_CountWindowTWS", (_CountWindowProcessor, StatefulProcessor), {}
     )
+    # ttl=0 means "no TTL" (pyspark transmits any non-None ttlDurationMs,
+    # and a 0 TTL with timeMode='none' is rejected at processor init)
+    state_ttl_ms = state_ttl_ms or None
     proc = proc_cls(size, state_ttl_ms)
     _require_rocksdb_state_store(spark)
     src = spark.readStream.schema(SPARK_DDL).parquet(stream.buffer_dir)

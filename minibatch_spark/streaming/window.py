@@ -240,16 +240,21 @@ class WindowEmitter:
             fut = self._pool.submit(_run_pickled_emit, payload)
             self._pending.append((fut, win, rows))
             # prompt commit even if the stream then goes quiet: when the
-            # child finishes, drain from the callback thread. BEST-EFFORT
-            # (non-blocking lock attempt): this callback runs on the
-            # pool's result-delivery thread — if it blocked on the lock
-            # while a blocking drain holds it awaiting further futures,
-            # result delivery itself would stall: deadlock. A skipped
-            # callback is always covered by the next dispatch or stop().
+            # child finishes, drain from a SHORT-LIVED daemon thread. Not
+            # the callback thread itself: that is the pool's single
+            # result-delivery thread, and parent-side commit work (user
+            # forwardfn, sink delivery, parquet persist) blocking there —
+            # or merely waiting on _emit_lock while a blocking drain
+            # holds it — would stall delivery of every other future
+            # (deadlock in the worst case). The hand-off thread may
+            # block freely; its drain(block=False) commits exactly the
+            # finished futures.
             fut.add_done_callback(
-                lambda _f: self._drain_process_results(
-                    block=False, best_effort=True
-                )
+                lambda _f: threading.Thread(
+                    target=self._drain_process_results,
+                    kwargs={"block": False},
+                    daemon=True,
+                ).start()
             )
             return
         self._pending = [f for f in self._pending if not f.done()]
@@ -265,31 +270,31 @@ class WindowEmitter:
             # minibatch/window.py:214-218)
             self.emit_errors.append(exc)
 
-    def _drain_process_results(self, block: bool, best_effort: bool = False) -> None:
+    def _drain_process_results(self, block: bool) -> None:
         """Complete finished process-pool emits: collect each child's
         result, then run the parent-side commit path. Serialized by
         _emit_lock — dispatch (stream-execution thread), the wall-clock
-        flusher, pool done-callbacks, and stop() all drain, and an
-        unlocked interleave could commit a window twice or drop a
-        just-appended pending entry. best_effort=True (the done-callback
-        path) skips when contended instead of waiting — whoever holds the
-        lock is draining already."""
-        if not self._emit_lock.acquire(blocking=not best_effort):
-            return
-        try:
-            remaining = []
-            for fut, win, rows in self._pending:
+        flusher, completion hand-off threads, and stop() all drain, and
+        an unlocked interleave could commit a window twice or drop a
+        just-appended pending entry. Each tuple leaves _pending BEFORE
+        its commit runs, and a commit-side failure (forwardfn, sink,
+        persist) lands in emit_errors — never a re-commit of windows
+        already finished this pass (async windows are at-least-once, same
+        contract as the thread path)."""
+        with self._emit_lock:
+            for entry in list(self._pending):
+                fut, win, rows = entry
                 if not (block or fut.done()):
-                    remaining.append((fut, win, rows))
                     continue
                 exc = fut.exception()  # waits when block=True
+                self._pending.remove(entry)
                 if exc is not None:
                     self.emit_errors.append(exc)
-                else:
+                    continue
+                try:
                     self._finish_emit(win, rows, fut.result())
-            self._pending = remaining
-        finally:
-            self._emit_lock.release()
+                except BaseException as e:  # commit-side failure
+                    self.emit_errors.append(e)
 
     def _await_emits(self) -> None:
         if self.executor == "process":
