@@ -11,9 +11,16 @@ problem, not a missing-code problem.
 
 ``ensure_protobuf()`` wires it up:
 
-- appends the vendored runtime to ``sys.path`` (driver side) and to
-  ``PYTHONPATH`` (inherited by local-mode Python workers, which import
-  ``StateMessage_pb2`` inside ``transformWithStateInPandas`` tasks);
+- appends the vendored runtime to ``sys.path`` (driver side — the native
+  import already failed here, so nothing is shadowed);
+- for descendant processes (local-mode Python workers import
+  ``StateMessage_pb2`` inside ``transformWithStateInPandas`` tasks),
+  exports ``minibatch_spark/_pbshim`` on ``PYTHONPATH`` — NOT the vendored
+  dir itself. The shim's ``google/__init__.py`` rebuilds the namespace
+  with native site-packages portions FIRST and the vendored runtime
+  (located via ``MINIBATCH_SPARK_PROTOBUF_VENDORED``) appended LAST, so a
+  child environment that has its own ``google.protobuf`` installed keeps
+  winning even though PYTHONPATH precedes site-packages;
 - sets protobuf's own documented escape hatch
   ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` because the vendored
   runtime (6.32.0-dev) is one minor version behind the gencode pinned in
@@ -58,11 +65,15 @@ def ensure_protobuf() -> bool:
             except ImportError:
                 sys.path.remove(cand)
                 continue
-            # workers are separate processes: they need the path via env
+            # workers are separate processes: they need the path via env.
+            # Export the merge-shim (native protobuf wins in children),
+            # never the vendored dir directly — see _pbshim/google.
+            shim = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pbshim")
+            os.environ["MINIBATCH_SPARK_PROTOBUF_VENDORED"] = cand
             existing = os.environ.get("PYTHONPATH", "")
-            if cand not in existing.split(os.pathsep):
+            if shim not in existing.split(os.pathsep):
                 os.environ["PYTHONPATH"] = (
-                    f"{existing}{os.pathsep}{cand}" if existing else cand
+                    f"{existing}{os.pathsep}{shim}" if existing else shim
                 )
             os.environ.setdefault(
                 "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"

@@ -23,6 +23,7 @@ harness all consume a flat schema instead of driver-side Window objects.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from typing import TYPE_CHECKING, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -138,23 +139,53 @@ class _CountWindowProcessor:
 
 
 
-def _require_rocksdb_state_store(spark) -> None:
+_STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _require_rocksdb_state_store(spark) -> "str | None":
     """TWS state lives in named column families, which only the RocksDB
     provider supports (HDFSBackedStateStoreProvider hard-errors); the
-    conf is session-wide and read at query START. NOTE the blast radius:
-    every streaming query started in this session afterwards uses RocksDB
-    too. New queries are unaffected semantically (RocksDB is a superset
-    and the Spark-recommended production provider), but a query being
-    RESTARTED from a checkpoint written under the default provider must
-    keep its original provider — run such mixed workloads in separate
-    sessions, or restore the previous conf value after .start().
+    conf is session-wide and read at query START. Sets the conf ONLY when
+    it differs and returns the prior value (None if unset) so callers can
+    restore it — a query RESTARTED from a checkpoint written under the
+    default provider must keep its original provider. The tws_* builders
+    return an unstarted DataFrame (the conf is read at .start()), so they
+    cannot restore themselves; use the ``rocksdb_state_store`` context
+    manager around .start() when mixing providers in one session.
     rocksdbjni ships in the Spark 4 distribution, so this holds on a
     bare cluster."""
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider",
-    )
+    try:
+        prior = spark.conf.get(_STATE_STORE_CONF)
+    except Exception:
+        prior = None
+    if prior != _ROCKSDB_PROVIDER:
+        spark.conf.set(_STATE_STORE_CONF, _ROCKSDB_PROVIDER)
+    return prior
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to a block: set it (if it
+    differs), yield, then restore the prior session value — including
+    unsetting when it was never set. Start TWS queries INSIDE the block
+    (the conf is read at query start); queries already started keep
+    whatever provider they started with.
+
+    >>> with rocksdb_state_store(spark):
+    ...     q = tws_count_window(stream, spark, size=5) \\
+    ...         .writeStream.foreachBatch(fn).start()
+    """
+    prior = _require_rocksdb_state_store(spark)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_STATE_STORE_CONF)
+        elif prior != _ROCKSDB_PROVIDER:
+            spark.conf.set(_STATE_STORE_CONF, prior)
 
 def tws_count_window(
     stream: Stream, spark, size: int, state_ttl_ms: int | None = None

@@ -112,6 +112,7 @@ class WindowEmitter:
         workers: Optional[int] = None,
         executor: str = "thread",
         sink=None,
+        max_collect_rows: Optional[int] = 1_000_000,
     ):
         self.stream = stream
         self.emitfn = emitfn
@@ -146,6 +147,12 @@ class WindowEmitter:
         if executor not in ("thread", "process"):
             raise ValueError(f"executor must be 'thread' or 'process', got {executor!r}")
         self.executor = executor
+        # guard on the driver-materializing default path: the reference's
+        # window lists are implicitly capped by Mongo's 16 MB document
+        # limit (minibatch/models.py:123); Spark has no such cap, so an
+        # unbounded .collect() of a fat micro-batch would OOM the driver
+        # silently. None disables (caller takes responsibility).
+        self.max_collect_rows = max_collect_rows
         self._pool = None  # created lazily; shut down by stop()/availableNow
         self._pending: list = []
         self._query = None
@@ -234,7 +241,10 @@ class WindowEmitter:
             # cloudpickle (closures/lambdas work), commit stays here
             from pyspark import cloudpickle
 
-            self._drain_process_results(block=False)
+            # no inline drain here: the caller typically holds _emit_lock
+            # (dispatch runs under it) and commits must not run on its
+            # watch — every future's done-callback spawns a hand-off
+            # thread that drains, including futures already finished
             win = self._build_window(rows)
             payload = cloudpickle.dumps((self.emitfn, win))
             fut = self._pool.submit(_run_pickled_emit, payload)
@@ -272,29 +282,35 @@ class WindowEmitter:
 
     def _drain_process_results(self, block: bool) -> None:
         """Complete finished process-pool emits: collect each child's
-        result, then run the parent-side commit path. Serialized by
-        _emit_lock — dispatch (stream-execution thread), the wall-clock
-        flusher, completion hand-off threads, and stop() all drain, and
-        an unlocked interleave could commit a window twice or drop a
-        just-appended pending entry. Each tuple leaves _pending BEFORE
-        its commit runs, and a commit-side failure (forwardfn, sink,
-        persist) lands in emit_errors — never a re-commit of windows
-        already finished this pass (async windows are at-least-once, same
-        contract as the thread path)."""
+        result, then run the parent-side commit path. Only the _pending
+        bookkeeping is serialized by _emit_lock — each tuple is popped
+        under the lock (so concurrent drains from the stream-execution
+        thread, the wall-clock flusher, completion hand-off threads, and
+        stop() each commit a window at most once), but the commit itself
+        (_finish_emit: user forwardfn, sink delivery, parquet persist)
+        runs OUTSIDE the lock so a slow commit cannot stall the
+        micro-batch handler or the flusher, and block=True never holds
+        the lock across a child-process wait. Commit order across
+        concurrent drains is unspecified — async windows are
+        at-least-once, same contract as the thread path. A commit-side
+        failure lands in emit_errors, never a re-commit."""
         with self._emit_lock:
+            claimed = []
             for entry in list(self._pending):
-                fut, win, rows = entry
+                fut, _win, _rows = entry
                 if not (block or fut.done()):
                     continue
-                exc = fut.exception()  # waits when block=True
                 self._pending.remove(entry)
-                if exc is not None:
-                    self.emit_errors.append(exc)
-                    continue
-                try:
-                    self._finish_emit(win, rows, fut.result())
-                except BaseException as e:  # commit-side failure
-                    self.emit_errors.append(e)
+                claimed.append(entry)
+        for fut, win, rows in claimed:
+            exc = fut.exception()  # waits when block=True
+            if exc is not None:
+                self.emit_errors.append(exc)
+                continue
+            try:
+                self._finish_emit(win, rows, fut.result())
+            except BaseException as e:  # commit-side failure
+                self.emit_errors.append(e)
 
     def _await_emits(self) -> None:
         if self.executor == "process":
@@ -383,7 +399,27 @@ class WindowEmitter:
             if self.emitfn and (self.emit_empty or not batch_df.isEmpty()):
                 self.emitfn(batch_df, batch_id)
             return
-        rows = [r.asDict() for r in batch_df.orderBy("created", "seq").collect()]
+        ordered = batch_df.orderBy("created", "seq")
+        if self.max_collect_rows is not None:
+            # fetch cap+1 (TakeOrderedAndProject — executors hold only the
+            # prefix) so an over-cap batch fails FAST instead of OOMing
+            # the driver mid-collect
+            collected = ordered.limit(self.max_collect_rows + 1).collect()
+            if len(collected) > self.max_collect_rows:
+                raise RuntimeError(
+                    f"{self.name}: micro-batch exceeds max_collect_rows="
+                    f"{self.max_collect_rows} on the driver-materializing "
+                    "default path. Pass as_dataframe=True (the emit fn "
+                    "receives the micro-batch DataFrame; no driver "
+                    "materialization), use stateful_count_window / "
+                    "tws_count_window (streaming/stateful.py) for "
+                    "state-store windowing at scale, or raise "
+                    "max_collect_rows explicitly (max_collect_rows=None "
+                    "disables the guard)."
+                )
+        else:
+            collected = ordered.collect()
+        rows = [r.asDict() for r in collected]
         if self.processfn:
             rows = self.processfn(rows)
         with self._emit_lock:

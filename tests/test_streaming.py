@@ -608,3 +608,40 @@ def test_sustained_throughput_latency_contract(spark, tmp_path):
         assert len(em.emitted) == 10 and not em.emit_errors
     finally:
         em.stop()
+
+
+def test_max_collect_rows_guard_fails_fast(spark, tmp_path):
+    """The driver-materializing default path (as_dataframe=False) caps the
+    per-micro-batch collect: an over-cap batch raises a clear error
+    instead of silently OOMing the driver. Analog of the reference's
+    implicit Mongo 16 MB window cap (minibatch/models.py:123)."""
+    from pyspark.errors import StreamingQueryException
+
+    s = _mk(tmp_path, name="cap")
+    for i in range(8):
+        s.append({"i": i})
+    em = CountWindow(s, emitfn=lambda w: None, size=2, max_collect_rows=3)
+    with pytest.raises(StreamingQueryException, match="max_collect_rows"):
+        em.run(spark, available_now=True)
+
+
+def test_max_collect_rows_guard_disabled_and_roomy(spark, tmp_path):
+    """max_collect_rows=None disables the guard; a cap above the batch
+    size is transparent (same windows as the unguarded run)."""
+    s = _mk(tmp_path, name="cap2")
+    for i in range(6):
+        s.append({"i": i})
+    seen = []
+    em = CountWindow(s, emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+                     size=3, max_collect_rows=None, name="nocap")
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1, 2], [3, 4, 5]]
+
+    s2 = _mk(tmp_path, name="cap3")
+    for i in range(6):
+        s2.append({"i": i})
+    seen2 = []
+    em2 = CountWindow(s2, emitfn=lambda w: seen2.append([d["i"] for d in w.data]),
+                      size=3, max_collect_rows=100, name="roomy")
+    em2.run(spark, available_now=True)
+    assert seen2 == [[0, 1, 2], [3, 4, 5]]

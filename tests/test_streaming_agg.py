@@ -487,3 +487,41 @@ def test_tws_state_ttl_abandons_stale_remainder(spark, tmp_path):
     assert run_scenario("ttl-off", None) == [[0, 1], [2, 3]]
     # TTL: remainder 2 evicted; msg 3 starts a new partial window
     assert run_scenario("ttl-on", 500) == [[0, 1]]
+
+
+def test_rocksdb_state_store_context_restores_conf(spark):
+    """rocksdb_state_store sets the provider for the block and restores
+    the prior session value on exit — including UNSETTING when the conf
+    was never set (ADVICE: the requirer must not permanently flip the
+    session-wide provider for later checkpoint restarts)."""
+    from minibatch_spark.streaming.stateful import (
+        _ROCKSDB_PROVIDER,
+        _STATE_STORE_CONF,
+        rocksdb_state_store,
+    )
+
+    def current():
+        try:
+            return spark.conf.get(_STATE_STORE_CONF)
+        except Exception:
+            return None
+
+    prior = current()
+    try:
+        # case 1: conf explicitly set to a non-RocksDB provider -> restored
+        spark.conf.set(_STATE_STORE_CONF, "com.example.FakeProvider")
+        with rocksdb_state_store(spark):
+            assert current() == _ROCKSDB_PROVIDER
+        assert current() == "com.example.FakeProvider"
+
+        # case 2: conf unset -> set inside the block, unset again after
+        spark.conf.unset(_STATE_STORE_CONF)
+        before = current()  # None or Spark's built-in default
+        with rocksdb_state_store(spark):
+            assert current() == _ROCKSDB_PROVIDER
+        assert current() == before
+    finally:
+        if prior is None:
+            spark.conf.unset(_STATE_STORE_CONF)
+        else:
+            spark.conf.set(_STATE_STORE_CONF, prior)
