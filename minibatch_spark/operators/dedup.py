@@ -611,6 +611,14 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle computes the same closure with a recursive CTE —
     full rows+schema+hash verification of an iterative algorithm.
+
+    Measured dead end (round 4): propagating TWO hops per materialized
+    round to halve driver actions is 3x SLOWER here (6.6 s vs 2.2 s
+    min-of-3, sf0.01 local[8]) — the un-materialized hop-1 frame feeds
+    BOTH sides of hop 2's join and is recomputed, doubling shuffle work
+    per round, while the one-action-per-round shape below already removed
+    the redundant action latency. Single-hop with a fused changed-flag
+    count is the optimum at this graph shape.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = stage(

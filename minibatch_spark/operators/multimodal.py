@@ -80,7 +80,32 @@ def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def decode_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+def pil_decode(blob: bytes) -> tuple[int, int, list[float]]:
+    """Real image codec for ``decode_features(codec=...)``: PIL decode ->
+    (width, height, 8-dim feature vector) = per-channel RGB means and
+    stds (/255) plus normalized dims. Deterministic for a given payload.
+    Raises ImportError when PIL is absent (this container) — callers keep
+    the default stub codec in that case; the Spark-side plumbing is
+    identical either way."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    img = Image.open(io.BytesIO(blob)).convert("RGB")
+    w, h = img.size
+    px = np.asarray(img, dtype="float64") / 255.0  # (h, w, 3)
+    feats = (
+        list(px.mean(axis=(0, 1)))
+        + list(px.std(axis=(0, 1)))
+        + [w / 255.0, h / 255.0]
+    )
+    return w, h, feats[:FEATURE_DIM]
+
+
+def decode_features(
+    df: DataFrame, blob_col: str, id_col: str, codec=None
+) -> DataFrame:
     """mapInPandas decode pipeline: binary column -> (dims, feature vector).
 
     Arrow-batched — each pandas chunk holds many blobs; the UDF cost is
@@ -88,11 +113,17 @@ def decode_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     Partition count is preserved, so upstream repartitioning controls
     decode parallelism (at 100 TB: repartition to #cores x executors before
     this stage; blobs never shuffle afterwards).
+
+    ``codec``: optional ``bytes -> (width, height, features)`` callable run
+    inside the Arrow batch (cloudpickled to workers). Default is the
+    deterministic md5 stub (oracle-replayable); pass ``pil_decode`` for a
+    real image decoder where PIL is installed.
     """
+    codec = codec or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(b) for b in pdf[blob_col]]
+            decoded = [codec(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -110,3 +110,31 @@ def test_q1_extraction_paths_agree_on_real_data(spark):
         c = fast != conservative
         cond = c if cond is None else (cond | c)
     assert l.filter(cond).count() == 0
+
+
+def test_correctness_full_artifact_not_stale():
+    """The committed CORRECTNESS_FULL_r*.json must cover EXACTLY the
+    current query registry — this goes red the moment a query is added
+    (or renamed/removed) without regenerating the artifact, so the
+    'complete differential run' claim can't silently go stale."""
+    import glob
+    import json
+    import os
+
+    from minibatch_spark.registry import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_FULL_r*.json")))
+    assert artifacts, "no CORRECTNESS_FULL_r*.json artifact committed"
+    latest = artifacts[-1]
+    with open(latest) as f:
+        art = json.load(f)
+    have = set(art["results"])
+    want = set(all_queries())
+    assert have == want, (
+        f"{os.path.basename(latest)} is stale: "
+        f"missing={sorted(want - have)} extra={sorted(have - want)} — "
+        "regenerate with SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 "
+        "pytest tests/test_oracle.py (see tests/oracle_util.py)"
+    )
+    assert art["ok"] == art["total"] == len(want)

@@ -424,12 +424,15 @@ def test_tws_state_ttl_abandons_stale_remainder(spark, tmp_path):
     elapses, a 4th message does NOT complete a window with the evicted
     remainder. The control run without TTL completes it. Uses a live
     processing-time trigger (TTL needs the processing-time clock;
-    availableNow never terminates in that mode) and polls the sink."""
+    availableNow never terminates in that mode), bounded by the drain
+    helpers: await_condition for sink arrival, drain_until_quiet to prove
+    no EXTRA window appears (no input consumed for the quiet period)."""
     import time as _t
 
     import pytest
 
     from minibatch_spark.compat import ensure_protobuf
+    from minibatch_spark.streaming.drain import await_condition, drain_until_quiet
 
     if not ensure_protobuf():
         pytest.skip("no google.protobuf runtime available")
@@ -464,18 +467,17 @@ def test_tws_state_ttl_abandons_stale_remainder(spark, tmp_path):
                 return []
 
         try:
-            deadline = _t.monotonic() + 30
-            while len(rows()) < 1 and _t.monotonic() < deadline:
-                _t.sleep(0.3)
-            assert len(rows()) == 1, f"{name}: first window missing"
+            assert await_condition(lambda: len(rows()) >= 1, timeout=30), (
+                f"{name}: first window missing"
+            )
             _t.sleep(2.0)  # TTL (500 ms) elapses in processing time
             s.append({"i": 3}, created=T0 + timedelta(seconds=10))
             s.flush()
             want = 2 if ttl is None else 1
-            deadline = _t.monotonic() + 30
-            while len(rows()) < want and _t.monotonic() < deadline:
-                _t.sleep(0.3)
-            _t.sleep(1.5)  # settle: prove no EXTRA window appears
+            assert await_condition(lambda: len(rows()) >= want, timeout=30)
+            # settle: quiet (no input consumed for 1.2 s) proves msg 3 was
+            # processed and no EXTRA window will appear
+            assert drain_until_quiet(q, quiet_seconds=1.2, timeout=30)
             return [
                 [json.loads(d)["i"] for d in json.loads(r.data_json)]
                 for r in rows()
@@ -525,3 +527,42 @@ def test_rocksdb_state_store_context_restores_conf(spark):
             spark.conf.unset(_STATE_STORE_CONF)
         else:
             spark.conf.set(_STATE_STORE_CONF, prior)
+
+
+def test_drain_until_quiet_waits_for_inflight_input(spark, tmp_path):
+    """drain_until_quiet: input consumed after the call resets the quiet
+    clock (the helper cannot declare a stream drained while it is still
+    eating rows), and a genuinely idle query goes quiet within bounds."""
+    from minibatch_spark.streaming.drain import await_condition, drain_until_quiet
+    from minibatch_spark.streaming.models import SPARK_DDL
+
+    s = _mk(tmp_path, name="drainq")
+    s.append({"i": 0}, created=T0)
+    s.flush()
+    sink = os.path.join(str(tmp_path), "drain-sink")
+    q = (
+        spark.readStream.schema(SPARK_DDL)
+        .parquet(s.buffer_dir)
+        .writeStream.trigger(processingTime="200 milliseconds")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "drain-ck"))
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    try:
+        def sunk():
+            try:
+                return spark.read.parquet(sink).count()
+            except Exception:
+                return 0
+
+        assert await_condition(lambda: sunk() >= 1, timeout=30)
+        # idle source -> quiet within the timeout
+        assert drain_until_quiet(q, quiet_seconds=1.0, timeout=30)
+        # new input arrives -> the next drain must see it consumed first
+        s.append({"i": 1}, created=T0 + timedelta(seconds=1))
+        s.flush()
+        assert drain_until_quiet(q, quiet_seconds=1.0, timeout=30)
+        assert sunk() == 2  # quiet only after the in-flight row landed
+    finally:
+        q.stop()
