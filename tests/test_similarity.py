@@ -157,3 +157,87 @@ def test_near_dup_recall_on_planted_pairs(spark, duck, tmp_path):
         hit = sum(1 for p in pairs if p in got)
         recall = hit / len(pairs)
         assert recall >= 0.9, f"planted recall {recall} at cos {cos_target}"
+
+
+def test_trained_pq_ivf_recall_on_planted_pairs(spark, duck, tmp_path):
+    """K-means-trained codebooks (the train=True production path next to
+    the oracle's sampled codebook): recall@10 of the TRUE nearest
+    neighbor >= 0.9 on a planted-pair corpus at cosine 0.99 and 0.95,
+    for both trained-PQ (ADC ranking) and trained-IVF (nprobe cells).
+
+    The 40-query recall statistic is computed by numpy REPLAY of the
+    exact same assignment/ADC math the pandas UDFs run (codebook, argmin
+    ties, LUT sum) so measuring recall does not need 160 corpus passes;
+    one planted query per path then runs END-TO-END through the Spark
+    pipeline and must agree with the replay's hit."""
+    import numpy as np
+
+    from minibatch_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_M,
+        PQ_TRAIN_SAMPLE,
+        ann_ivf_topk_trained,
+        ann_pq_topk_trained,
+        kmeans_train,
+        pq_train_codebook,
+    )
+
+    for cos_target, seed in ((0.99, 11), (0.95, 7)):
+        sf_dir, pairs = _planted_corpus(tmp_path, duck, cos_target, 40, seed)
+        rows = duck.execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        ids = [r[0] for r in rows]
+        V = np.array([r[1] for r in rows])
+        idx = {v: i for i, v in enumerate(ids)}
+        S = V[:PQ_TRAIN_SAMPLE]
+
+        # --- trained PQ: codes once, ADC per query ---
+        cb_sub = pq_train_codebook(S)  # M x K x dsub
+        sub = V.reshape(len(V), PQ_M, PQ_DSUB)
+        codes = np.stack(
+            [((sub[:, m, None, :] - cb_sub[m][None, :, :]) ** 2).sum(-1).argmin(1)
+             for m in range(PQ_M)], axis=1)  # n x M
+
+        def pq_top10(q):
+            qsub = q.reshape(PQ_M, PQ_DSUB)
+            lut = ((qsub[:, None, :] - cb_sub) ** 2).sum(-1)  # M x K
+            adc = lut[np.arange(PQ_M)[None, :], codes].sum(1)
+            order = sorted(range(len(ids)), key=lambda i: (round(adc[i], 6), ids[i]))
+            return order
+
+        pq_hits = 0
+        for base, copy in pairs:
+            top = [ids[i] for i in pq_top10(V[idx[copy]]) if ids[i] != copy][:10]
+            pq_hits += base in top
+        pq_recall = pq_hits / len(pairs)
+        assert pq_recall >= 0.9, f"trained-PQ recall {pq_recall} at cos {cos_target}"
+
+        # --- trained IVF: cells once, probe per query ---
+        cents = kmeans_train(S, 8)
+        cell = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ivf_hits = 0
+        for base, copy in pairs:
+            q = V[idx[copy]]
+            probes = set(((q[None, :] - cents) ** 2).sum(-1).argsort(kind="stable")[:3])
+            cand = [i for i in range(len(ids))
+                    if cell[i] in probes and ids[i] != copy]
+            sims = Vn[cand] @ (q / np.linalg.norm(q))
+            top = [ids[cand[j]] for j in
+                   sorted(range(len(cand)),
+                          key=lambda j: (-round(sims[j], 6), ids[cand[j]]))][:10]
+            ivf_hits += base in top
+        ivf_recall = ivf_hits / len(pairs)
+        assert ivf_recall >= 0.9, f"trained-IVF recall {ivf_recall} at cos {cos_target}"
+
+        # --- end-to-end Spark agreement for one planted query each ---
+        if cos_target == 0.99:
+            base, copy = pairs[0]
+            got_pq = [r.vec_id for r in
+                      ann_pq_topk_trained(spark, sf_dir, query_id=copy).collect()]
+            assert base in got_pq
+            got_ivf = [r.vec_id for r in
+                       ann_ivf_topk_trained(spark, sf_dir, query_id=copy).collect()]
+            assert base in got_ivf
