@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Streaming throughput/latency bench: drives ~1M rows through each
+windowing backend under Trigger.AvailableNow and prints ONE JSON line:
+
+  {"metric": "stream_total_wall_sec", "value": N, "unit": "sec",
+   "scenarios": {"countwindow_collect": {"rows": n, "wall_sec": s,
+                  "rows_per_sec": r, "windows": w, "sec_per_window": l},
+                 ...},
+   "rows": 1000000, "window_size": 1000}
+
+Scenarios (same 1M-row corpus, same window size, fresh stream + checkpoint
+each):
+
+- countwindow_collect   foreachBatch CountWindow, the reference-parity
+                        driver-materializing default path (every window is
+                        a Python list on the driver) — the path the
+                        ``max_collect_rows`` guard protects.
+- countwindow_dataframe foreachBatch with ``as_dataframe=True`` — no driver
+                        materialization; the emit fn aggregates the batch
+                        DataFrame (windows = micro-batches here).
+- stateful_count        applyInPandasWithState CountWindow: remainder in
+                        the engine state store, output as rows to a parquet
+                        sink (fully distributed; no driver loop).
+- tws_count             transformWithStateInPandas CountWindow (Spark 4
+                        arbitrary state, RocksDB provider) — same contract,
+                        new API + state backend.
+
+Timing covers query start -> availableNow termination (+ final carry drain
+for the foreachBatch paths). Producer time (writing the 1M-row buffer) is
+excluded — production is pyarrow-side and identical across scenarios.
+``sec_per_window`` is wall/windows: the average close-to-close pacing, the
+micro-batch analog of the reference's <1 s/batch CI bound
+(reference tests/test_mongodb.py:35-44).
+
+Env knobs: SPARK_GRAFT_STREAM_ROWS (default 1_000_000),
+SPARK_GRAFT_STREAM_WINDOW (default 1000), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "1000000"))
+WINDOW = int(os.environ.get("SPARK_GRAFT_STREAM_WINDOW", "1000"))
+N_FILES = 16  # parallelism of the file source scan
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def produce(stream, n: int) -> None:
+    """Bulk-load n envelope rows as N_FILES parquet parts (pyarrow direct —
+    the Batcher path would build n dicts one at a time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    per = n // N_FILES
+    seq = 0
+    for f in range(N_FILES):
+        count = per if f < N_FILES - 1 else n - per * (N_FILES - 1)
+        rows = range(seq, seq + count)
+        table = pa.table(
+            {
+                "stream": pa.array([stream.name] * count),
+                "created": pa.array(
+                    [T0 + timedelta(microseconds=i) for i in rows],
+                    pa.timestamp("us"),
+                ),
+                "seq": pa.array(list(rows), pa.int64()),
+                "data": pa.array([f'{{"i":{i}}}' for i in rows]),
+            }
+        )
+        pq.write_table(table, os.path.join(stream.buffer_dir, f"part-{f:05d}.parquet"))
+        seq += count
+
+
+def run_sink_query(spark, df, ckpt: str, sink: str) -> float:
+    t0 = time.monotonic()
+    q = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    from minibatch_spark.session import get_spark
+    from minibatch_spark.streaming.models import Stream
+    from minibatch_spark.streaming.window import CountWindow
+
+    spark = get_spark(app_name="minibatch-spark-bench-stream")
+    base = tempfile.mkdtemp(prefix="bench-stream-")
+    scenarios: dict[str, dict] = {}
+
+    def record(name: str, wall: float, windows: int, rows: int = N_ROWS) -> None:
+        scenarios[name] = {
+            "rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall),
+            "windows": windows,
+            "sec_per_window": round(wall / max(windows, 1), 6),
+        }
+
+    # -- 1. foreachBatch CountWindow, driver-materializing default path ----
+    s = Stream("bs-collect", base_dir=base)
+    produce(s, N_ROWS)
+    emitted = [0]
+
+    def count_emit(w):
+        emitted[0] += len(w.data)
+
+    em = CountWindow(s, emitfn=count_emit, size=WINDOW, clean_source=False,
+                     max_collect_rows=N_ROWS)
+    t0 = time.monotonic()
+    em.run(spark, available_now=True)
+    wall = time.monotonic() - t0
+    assert emitted[0] == (N_ROWS // WINDOW) * WINDOW, emitted[0]
+    record("countwindow_collect", wall, len(em.emitted))
+
+    # -- 2. foreachBatch, as_dataframe=True (no driver materialization) ----
+    s = Stream("bs-dataframe", base_dir=base)
+    produce(s, N_ROWS)
+    agg = {"rows": 0, "batches": 0}
+
+    def df_emit(batch_df, batch_id):
+        agg["rows"] += batch_df.count()
+        agg["batches"] += 1
+
+    em = CountWindow(s, emitfn=df_emit, size=WINDOW, as_dataframe=True,
+                     clean_source=False)
+    t0 = time.monotonic()
+    em.run(spark, available_now=True)
+    wall = time.monotonic() - t0
+    assert agg["rows"] == N_ROWS, agg
+    record("countwindow_dataframe", wall, agg["batches"])
+
+    # -- 3. applyInPandasWithState --------------------------------------
+    from minibatch_spark.streaming.stateful import stateful_count_window
+
+    s = Stream("bs-state", base_dir=base)
+    produce(s, N_ROWS)
+    sink = os.path.join(base, "sink-state")
+    wall = run_sink_query(
+        spark,
+        stateful_count_window(s, spark, size=WINDOW),
+        os.path.join(base, "ck-state"),
+        sink,
+    )
+    windows = spark.read.parquet(sink).count()
+    assert windows == N_ROWS // WINDOW, windows
+    record("stateful_count", wall, windows)
+
+    # -- 4. transformWithStateInPandas (RocksDB) --------------------------
+    from minibatch_spark.compat import ensure_protobuf
+
+    if ensure_protobuf():
+        from minibatch_spark.streaming.stateful import (
+            rocksdb_state_store,
+            tws_count_window,
+        )
+
+        s = Stream("bs-tws", base_dir=base)
+        produce(s, N_ROWS)
+        sink = os.path.join(base, "sink-tws")
+        with rocksdb_state_store(spark):
+            wall = run_sink_query(
+                spark,
+                tws_count_window(s, spark, size=WINDOW),
+                os.path.join(base, "ck-tws"),
+                sink,
+            )
+        windows = spark.read.parquet(sink).count()
+        assert windows == N_ROWS // WINDOW, windows
+        record("tws_count", wall, windows)
+
+    shutil.rmtree(base, ignore_errors=True)
+    total = round(sum(sc["wall_sec"] for sc in scenarios.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "scenarios": scenarios,
+                "rows": N_ROWS,
+                "window_size": WINDOW,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
