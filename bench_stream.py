@@ -55,9 +55,13 @@ N_FILES = 16  # parallelism of the file source scan
 T0 = datetime(2026, 1, 1, 12, 0, 0)
 
 
-def produce(stream, n: int) -> None:
+def produce(stream, n: int, n_keys: int = 1) -> None:
     """Bulk-load n envelope rows as N_FILES parquet parts (pyarrow direct —
-    the Batcher path would build n dicts one at a time)."""
+    the Batcher path would build n dicts one at a time). ``n_keys > 1``
+    spreads rows round-robin over that many stream keys: the state-store
+    backends partition BY KEY, so single-key runs serialize on one task
+    while multi-key runs use every core — the 1000-streams-in-parallel
+    contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -66,9 +70,14 @@ def produce(stream, n: int) -> None:
     for f in range(N_FILES):
         count = per if f < N_FILES - 1 else n - per * (N_FILES - 1)
         rows = range(seq, seq + count)
+        names = (
+            [stream.name] * count
+            if n_keys == 1
+            else [f"{stream.name}-{i % n_keys}" for i in rows]
+        )
         table = pa.table(
             {
-                "stream": pa.array([stream.name] * count),
+                "stream": pa.array(names),
                 "created": pa.array(
                     [T0 + timedelta(microseconds=i) for i in rows],
                     pa.timestamp("us"),
@@ -162,6 +171,21 @@ def main() -> None:
     assert windows == N_ROWS // WINDOW, windows
     record("stateful_count", wall, windows)
 
+    # -- 3b. applyInPandasWithState, 16 parallel stream keys --------------
+    n_keys = 16
+    s = Stream("bs-state16", base_dir=base)
+    produce(s, N_ROWS, n_keys=n_keys)
+    sink = os.path.join(base, "sink-state16")
+    wall = run_sink_query(
+        spark,
+        stateful_count_window(s, spark, size=WINDOW),
+        os.path.join(base, "ck-state16"),
+        sink,
+    )
+    windows = spark.read.parquet(sink).count()
+    assert windows == (N_ROWS // n_keys // WINDOW) * n_keys, windows
+    record("stateful_count_16keys", wall, windows)
+
     # -- 4. transformWithStateInPandas (RocksDB) --------------------------
     from minibatch_spark.compat import ensure_protobuf
 
@@ -184,6 +208,21 @@ def main() -> None:
         windows = spark.read.parquet(sink).count()
         assert windows == N_ROWS // WINDOW, windows
         record("tws_count", wall, windows)
+
+        # -- 4b. TWS, 16 parallel stream keys ----------------------------
+        s = Stream("bs-tws16", base_dir=base)
+        produce(s, N_ROWS, n_keys=n_keys)
+        sink = os.path.join(base, "sink-tws16")
+        with rocksdb_state_store(spark):
+            wall = run_sink_query(
+                spark,
+                tws_count_window(s, spark, size=WINDOW),
+                os.path.join(base, "ck-tws16"),
+                sink,
+            )
+        windows = spark.read.parquet(sink).count()
+        assert windows == (N_ROWS // n_keys // WINDOW) * n_keys, windows
+        record("tws_count_16keys", wall, windows)
 
     shutil.rmtree(base, ignore_errors=True)
     total = round(sum(sc["wall_sec"] for sc in scenarios.values()), 3)
