@@ -488,11 +488,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "sh1")
+        .select("doc_id", "sh1", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # All-Pairs SIZE filter (Bayardo et al. §3): jaccard >= t forces
+    # t*|A| <= |B| <= |A|/t (t=0.8 -> 4:5 both ways, exact in integer
+    # math), so length-incompatible bucket-mates never become candidate
+    # rows — on mixed-length corpora this prunes most of a hot shingle's
+    # bucket before the dropDuplicates shuffle and the verify join.
+    # EXACT: it can only remove pairs the verify stage would reject.
     cand = (
-        a.join(b, (F.col("a.sh1") == F.col("b.sh1")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh1") == F.col("b.sh1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
