@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Full-registry scale audit: time EVERY registered query at two scale
+factors and report per-query wall ratios — catches super-linear behavior
+in the 90+ queries the headline bench does not cover.
+
+Usage:
+    python tools/scale_audit.py /root/testdata/sf0.1 /tmp/sparkdata/sf1 \
+        > SCALE_AUDIT_r04.json
+
+Writes JSONL progress to stderr; one JSON summary line to stdout:
+  {"a_dir": ..., "b_dir": ..., "data_ratio": 10.0,
+   "queries": {name: {"a_sec": s, "b_sec": s, "ratio": r}},
+   "super_linear": [names with ratio > data_ratio],
+   "flagged_2x": [names with ratio > 2*data_ratio]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        best = float("inf")
+        try:
+            for _ in range(reps):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.monotonic() - t0)
+        except Exception as e:  # record and continue
+            print(f"ERR {name} @ {sf_dir}: {e}", file=sys.stderr)
+            best = float("nan")
+        out[name] = round(best, 3)
+        print(f"{sf_dir.rsplit('/',1)[-1]} {name} {out[name]}", file=sys.stderr)
+        spark.catalog.clearCache()
+    return out
+
+
+def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
+    from minibatch_spark.registry import all_queries
+    from minibatch_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-audit")
+    queries = all_queries()
+    a = time_all(spark, queries, a_dir)
+    b = time_all(spark, queries, b_dir)
+    rows = {
+        n: {
+            "a_sec": a[n],
+            "b_sec": b[n],
+            "ratio": round(b[n] / a[n], 2) if a[n] and a[n] == a[n] else None,
+        }
+        for n in sorted(queries)
+    }
+    sup = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > data_ratio]
+    bad = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > 2 * data_ratio]
+    print(
+        json.dumps(
+            {
+                "a_dir": a_dir,
+                "b_dir": b_dir,
+                "data_ratio": data_ratio,
+                "queries": rows,
+                "super_linear": sup,
+                "flagged_2x": bad,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    a = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    b = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sparkdata/sf1"
+    r = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    main(a, b, r)
