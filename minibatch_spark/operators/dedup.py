@@ -153,6 +153,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS norm_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-exact dedup on normalized text — the standard first pass of an
+    LLM-corpus pipeline (C4/CCNet shape): lowercase, collapse every
+    non-alphanumeric run to one space, trim, then hash. Catches the
+    casing/punctuation/whitespace variants of a document that byte-exact
+    dedup (dedup_exact) misses, at identical cost: the normalization is
+    per-row JVM regexp in whole-stage codegen and the groupBy shuffles
+    16-byte md5 keys with map-side combine — shuffle O(distinct), not
+    O(corpus), at any scale. Between this and MinHash-LSH in
+    aggressiveness; all three run as successive passes in production."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@query(
     "dedup_fingerprint",
     oracle="""
     SELECT md5(array_to_string(list_sort(list_distinct(

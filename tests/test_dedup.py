@@ -137,3 +137,41 @@ def test_minhash_pairs_collapse_exact_dups(spark, duck):
     }
     for r in all_queries()["dedup_minhash_pairs"](spark, SF_SMOKE).collect():
         assert r.doc_a not in non_reps and r.doc_b not in non_reps
+
+
+def test_normalized_dedup_collapses_case_and_punct_variants(spark, tmp_path):
+    """dedup_normalized groups casing/punctuation/whitespace variants that
+    byte-exact dedup keeps apart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minibatch_spark.registry import all_queries
+
+    docs = [
+        (0, "Hello, World!"),
+        (1, "hello   world"),
+        (2, "HELLO-WORLD"),
+        (3, "a different doc"),
+    ]
+    sf = tmp_path / "normdup"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    rows = {
+        r.keep_doc_id: r.n_docs
+        for r in all_queries()["dedup_normalized"](spark, str(sf)).collect()
+    }
+    assert rows == {0: 3, 3: 1}  # three variants collapse onto doc 0
+
+    exact = all_queries()["dedup_exact"](spark, str(sf)).collect()
+    assert len(exact) == 4  # byte-exact keeps all four apart
