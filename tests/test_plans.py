@@ -617,3 +617,16 @@ def test_cap_per_source_window_group_limit(spark):
     assert_in_plan(df, "WindowGroupLimit")
     plan = explain_str(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_normalized_single_shuffle_pruned_scan(spark):
+    """dedup_normalized: the normalization is per-row codegen feeding ONE
+    hash-aggregate exchange on the 16-byte md5 key; the scan reads only
+    doc_id + text (column pruning)."""
+    from minibatch_spark.plans import explain_str, read_schema
+
+    df = _q("dedup_normalized")(spark, SF_SMOKE)
+    assert explain_str(df, mode="simple").count("Exchange hashpartitioning") == 1
+    rs = read_schema(df)
+    assert "text" in rs and "doc_id" in rs
+    assert "source" not in rs and "lang" not in rs
