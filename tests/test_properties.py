@@ -270,3 +270,30 @@ def test_round_extraction_matches_decimal_cast(cents):
         Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
     )
     assert via_round == via_decimal == cents
+
+
+def test_gen_sf_deterministic(tmp_path):
+    """tools/gen_sf.py: same seed -> byte-identical parquet content
+    (the property that makes BENCH_sf1/SCALE_AUDIT artifacts
+    reproducible). Checked at a tiny sf for speed."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import gen_sf
+
+    a = gen_sf.gen(0.001, str(tmp_path / "a"))
+    b = gen_sf.gen(0.001, str(tmp_path / "b"))
+
+    def digest(root):
+        out = {}
+        for f in sorted(os.listdir(root)):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(root, f))
+            out[f] = hashlib.md5(str(t.to_pydict()).encode()).hexdigest()
+        return out
+
+    assert digest(a) == digest(b)

@@ -645,3 +645,39 @@ def test_max_collect_rows_guard_disabled_and_roomy(spark, tmp_path):
                       size=3, max_collect_rows=100, name="roomy")
     em2.run(spark, available_now=True)
     assert seen2 == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_randomized_restart_cycles_exactly_once(spark, tmp_path):
+    """Chaos-shaped exactly-once check: seeded random interleaving of
+    producer appends and emitter restarts (same name => same checkpoint +
+    carry), draining into a keyed IdempotentParquetSink. Whatever the
+    interleaving, the final sink holds EXACTLY N//size windows covering
+    every message once, in arrival order."""
+    import glob
+    import json as _json
+    import random
+
+    import pyarrow.parquet as _pq
+
+    from minibatch_spark.streaming.sinks import IdempotentParquetSink
+
+    rng = random.Random(1234)
+    s = _mk(tmp_path, name="chaos")
+    sink = IdempotentParquetSink(str(tmp_path / "chaos-sink"))
+    sent = 0
+    for cycle in range(5):
+        for _ in range(rng.randint(1, 9)):
+            s.append({"i": sent})
+            sent += 1
+        # every cycle: a FRESH emitter object on the same name/checkpoint
+        # (a restart), which must resume from carry without loss or dup
+        em = CountWindow(s, size=3, sink=sink, name="chaos-em")
+        em.run(spark, available_now=True)
+    files = glob.glob(str(tmp_path / "chaos-sink" / "*.parquet"))
+    assert len(files) == sent // 3, (len(files), sent)
+    seen = sorted(
+        _json.loads(r["data"])["i"]
+        for f in files
+        for r in _pq.read_table(f).to_pylist()
+    )
+    assert seen == list(range((sent // 3) * 3))  # every msg once, no gaps
