@@ -155,7 +155,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_normalized",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    SELECT md5(lower(trim(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))))
              AS norm_hash,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS keep_doc_id
@@ -165,17 +165,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-exact dedup on normalized text — the standard first pass of an
-    LLM-corpus pipeline (C4/CCNet shape): lowercase, collapse every
-    non-alphanumeric run to one space, trim, then hash. Catches the
-    casing/punctuation/whitespace variants of a document that byte-exact
-    dedup (dedup_exact) misses, at identical cost: the normalization is
-    per-row JVM regexp in whole-stage codegen and the groupBy shuffles
-    16-byte md5 keys with map-side combine — shuffle O(distinct), not
-    O(corpus), at any scale. Between this and MinHash-LSH in
-    aggressiveness; all three run as successive passes in production."""
+    LLM-corpus pipeline (C4/CCNet shape): collapse every run of
+    non-ASCII-alphanumerics to one space, trim, lowercase, then hash.
+    Catches the casing/punctuation/whitespace variants of a document that
+    byte-exact dedup (dedup_exact) misses, at identical cost: the
+    normalization is per-row JVM regexp in whole-stage codegen and the
+    groupBy shuffles 16-byte md5 keys with map-side combine — shuffle
+    O(distinct), not O(corpus), at any scale. Between this and
+    MinHash-LSH in aggressiveness; all three run as successive passes.
+
+    ORDER MATTERS for engine portability: the character-class strip runs
+    on the RAW codepoints (identical regex semantics in Spark's Java
+    regex and DuckDB's RE2 — no case folding involved), and lower() then
+    operates on pure ASCII, where every engine agrees. Lowercasing FIRST
+    diverges cross-engine on special case-fold expansions — U+0130 'İ'
+    lowers to 'i' + combining-dot in the JVM (and Python) but to plain
+    'i' in DuckDB — which a differential test on an adversarial unicode
+    corpus pins (tests/test_dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " "))
     )
     return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
         F.count(F.lit(1)).alias("n_docs"),

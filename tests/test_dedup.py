@@ -175,3 +175,54 @@ def test_normalized_dedup_collapses_case_and_punct_variants(spark, tmp_path):
 
     exact = all_queries()["dedup_exact"](spark, str(sf)).collect()
     assert len(exact) == 4  # byte-exact keeps all four apart
+
+
+def test_normalized_dedup_unicode_parity_spark_vs_duckdb(spark, tmp_path):
+    """The REAL normalization-parity contract — Spark (Java regex/lower)
+    vs the DuckDB oracle — on a deterministic adversarial corpus beyond
+    the ASCII testdata: latin-1 accents, sharp-s, ligatures, combining
+    marks, and the U+0130 dotted-I (whose Python str.lower() expansion
+    differs from BOTH engines — which is why this pins Spark<->DuckDB
+    directly through run_pair, not either engine against Python)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minibatch_spark.registry import all_oracles, all_queries
+    from tests.oracle_util import run_pair
+
+    texts = [
+        "Hello, World!",
+        "ÅÉÎØÜ àb",
+        "ß-Straße 12",
+        "İstanbul İİİ",
+        "ǅungla ﬁsh",
+        "tab\tand\nnewline",
+        "ascii only 42",
+    ]
+    sf = tmp_path / "unidup"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    run_pair(
+        spark,
+        con,
+        all_queries()["dedup_normalized"],
+        all_oracles()["dedup_normalized"],
+        str(sf),
+        "dedup_normalized-unicode",
+    )
