@@ -746,13 +746,17 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUBSTRING(p_name, 1, 8) AS name_prefix,
            regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
            regexp_replace(p_name, 'a', '@', 'g') AS name_at,
-           CONCAT(p_brand, ':', p_type) AS brand_type
+           concat_ws(':', p_brand, p_type) AS brand_type
     FROM part
     """,
 )
 def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function surface: upper/length/substring/regexp/concat —
-    all whole-stage-codegen JVM expressions, no UDFs."""
+    all whole-stage-codegen JVM expressions, no UDFs. NULL contract:
+    concat_ws on BOTH engines (skip null args AND their separators) —
+    plain CONCAT diverges cross-engine when an argument is null
+    (caught by the null-injection differential sweep,
+    tests/test_null_parity.py)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -837,15 +841,28 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-verified."""
     e = load_table(spark, sf_dir, "events")
     per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL contract (null-injection sweep): COUNT(DISTINCT event_type)
+    # skips NULL per SQL, so a null type must not become a map key —
+    # collect_list drops the null struct produced by the when(); the
+    # null-type rows still count in n_total (summed from cnt directly,
+    # matching the oracle's COUNT(*)).
     m = per.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isNotNull(),
+                    F.struct("event_type", "cnt"),
+                )
+            )
+        ).alias("m"),
+        F.sum("cnt").alias("n_total"),
     )
     return m.select(
         "user_id",
         F.coalesce(F.element_at("m", F.lit("click")), F.lit(0).cast("long")).alias("n_click"),
         F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0).cast("long")).alias("n_purchase"),
         F.size(F.map_keys("m")).alias("n_types"),
-        F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("n_total"),
+        "n_total",
     )
 
 
@@ -985,6 +1002,11 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     click_ts = F.last(
         F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
     ).over(w)
+    # NULL contract: Spark windows treat NULL as a real partition value,
+    # but the as-of equality p.user_id = c.user_id is never TRUE for
+    # NULL users — mask the carried click so null-user purchases emit
+    # with no match (LEFT semantics), exactly like the oracle's ASOF.
+    click_ts = F.when(F.col("user_id").isNotNull(), click_ts)
     return (
         e.withColumn("click_ts", click_ts)
         .filter(F.col("event_type") == "purchase")
@@ -1070,21 +1092,23 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(
-            dsum(dmoney("o_totalprice")).alias("rev"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(dsum(dmoney("o_totalprice")).alias("rev"))
     )
-    return piv.select(
-        "o_orderpriority",
-        F.col("F_rev").alias("rev_f"),
-        F.col("O_rev").alias("rev_o"),
-        F.col("P_rev").alias("rev_p"),
-        (
-            F.coalesce("F_n", F.lit(0))
-            + F.coalesce("O_n", F.lit(0))
-            + F.coalesce("P_n", F.lit(0))
-        ).alias("n_orders"),
+    # NULL contract: pivot(values=[F,O,P]) silently drops null-status
+    # rows, but the oracle's n_orders is COUNT(*) over ALL rows — count
+    # in a separate tiny grouped agg and null-safe-join it back
+    # (o_orderpriority itself can be NULL, which a plain join key would
+    # drop). Both frames are |priorities|-sized; the join is broadcast.
+    tot = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return piv.join(
+        F.broadcast(tot),
+        piv["o_orderpriority"].eqNullSafe(tot["o_orderpriority"]),
+    ).select(
+        piv["o_orderpriority"],
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+        "n_orders",
     )
 
 

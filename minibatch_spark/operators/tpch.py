@@ -436,12 +436,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("smax") == F.col("m1")) & (F.col("n_top") == 1), F.col("m2")
         ).otherwise(F.col("m1")),
     )
-    qualifying = enriched.filter(
-        (F.col("n_supp") > 1) & (F.col("smax") >= F.col("others_max"))
-    ).select("l_orderkey", "l_suppkey", "others_max")
+    # NULL contract (three-valued logic, pinned by the null-injection
+    # differential sweep): `l3.l_shipdate > l1.l_shipdate` is never TRUE
+    # when either side is NULL, so a null-shipdate l1 line always passes
+    # NOT EXISTS, a null-shipdate l3 line never blocks anyone, and a null
+    # others_max (no other supplier has a non-null date) blocks nothing.
+    # Date filtering therefore happens ONLY at line level with explicit
+    # null-qualifies arms — a supplier-level smax>=others_max pre-filter
+    # would wrongly drop null-smax suppliers.
+    qualifying = enriched.filter(F.col("n_supp") > 1).select(
+        "l_orderkey", "l_suppkey", "others_max"
+    )
     # count the LINES (oracle counts l1 rows) whose shipdate survives
     lines = li.join(qualifying, ["l_orderkey", "l_suppkey"]).filter(
-        F.col("l_shipdate") >= F.col("others_max")
+        F.col("others_max").isNull()
+        | F.col("l_shipdate").isNull()
+        | (F.col("l_shipdate") >= F.col("others_max"))
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

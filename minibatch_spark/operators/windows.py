@@ -384,13 +384,28 @@ def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         "event_type",
     ).agg(F.count_distinct("user_id").alias("exact_users"))
-    j = exact.join(daily_est, ["day", "event_type"])
+    # NULL contract (null-injection sweep): event_type can be NULL and is
+    # a legitimate group on both engines — a plain join key drops it
+    # (NULL != NULL), so the estimate joins back null-safely; and a group
+    # whose users are ALL NULL has exact_users = 0 (COUNT DISTINCT skips
+    # nulls), where the error-ratio is undefined — the contract there is
+    # "the sketch saw nothing either" (sketches skip nulls too).
+    j = exact.alias("x").join(
+        daily_est.alias("h"),
+        (F.col("x.day") == F.col("h.day"))
+        & F.col("x.event_type").eqNullSafe(F.col("h.event_type")),
+        "left",
+    )
     rel_err = (
         F.abs(F.col("hll_users") - F.col("exact_users")) / F.col("exact_users")
     )
+    ok = F.when(
+        F.col("exact_users") == 0,
+        F.coalesce(F.col("hll_users"), F.lit(0.0)) == 0.0,
+    ).otherwise(rel_err <= F.lit(0.05))
     return j.select(
-        "day",
-        "event_type",
+        F.col("x.day").alias("day"),
+        F.col("x.event_type").alias("event_type"),
         "exact_users",
-        (rel_err <= F.lit(0.05)).alias("hll_within_5pct"),
+        ok.alias("hll_within_5pct"),
     )

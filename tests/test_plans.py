@@ -120,16 +120,20 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
 
 
 def test_pivot_two_phase_partial_agg(spark):
-    """Pivot with the explicit value list: exactly the two-phase aggregate
+    """Pivot with the explicit value list: the two-phase aggregate
     (pre-agg on (priority,status), then pivotfirst on priority), each with
-    a map-side partial — and no third shuffle. (The values-DISCOVERY job a
-    list-less pivot() runs is eager and driver-side, so its absence is the
-    build-time property the explicit list buys.)"""
+    a map-side partial. (The values-DISCOVERY job a list-less pivot() runs
+    is eager and driver-side, so its absence is the build-time property
+    the explicit list buys.) The NULL-contract n_orders count (null-status
+    rows must reach COUNT(*)) adds one tiny grouped agg joined back by
+    BROADCAST — never a sort-merge join — for 3 hash exchanges total."""
     from minibatch_spark.plans import explain_str
 
     plan = explain_str(_q("pivot_orders_status")(spark, SF_SMOKE), mode="simple")
     assert "pivotfirst" in plan and "partial_pivotfirst" in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_docs_filter_pipeline_single_exchange(spark):
