@@ -258,12 +258,33 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals via ROLLUP (status -> status+priority -> grand)."""
+    """Hierarchical subtotals via ROLLUP (status -> status+priority -> grand).
+
+    Standard-SQL empty-input contract (caught by the empty-table sweep,
+    tests/test_empty_parity.py): the () grouping set must yield exactly
+    ONE grand-total row even over an empty table (COUNT(*)=0), which
+    Spark's rollup omits (its Expand produces no rows from no input).
+    Native rollup still computes every PARTIAL level; only its ()-row is
+    swapped for an explicit global aggregate (one extra map-side-collapsed
+    pass ending in a single row — negligible next to the Expand)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dmoney("o_totalprice")).alias("sum_total"),
+    ]
+    partial = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("_gid"), *aggs)
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
     )
+    total = o.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "sum_total",
+    )
+    return partial.unionByName(total)
 
 
 @query(
@@ -277,12 +298,28 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All grouping-set combinations via CUBE."""
+    """All grouping-set combinations via CUBE. Same standard-SQL
+    empty-input contract as rollup_orders: the ()-set's grand-total row
+    comes from an explicit global aggregate (exactly one row even on an
+    empty table); native cube computes every partial level."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_items"),
         dsum(dmoney("l_quantity")).alias("sum_qty"),
+    ]
+    partial = (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("_gid"), *aggs)
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
     )
+    total = l.agg(*aggs).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_items",
+        "sum_qty",
+    )
+    return partial.unionByName(total)
 
 
 # ---------------------------------------------------------------------------
@@ -1057,15 +1094,26 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregates, so adding sets does not add shuffles. grouping_id
     disambiguates a NULL group key from a rolled-up one."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupingSets(
-        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
-        F.grouping_id().alias("gid"),
+    aggs = [
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dmoney("o_totalprice")).alias("sum_total"),
+    ]
+    # the () set's grand-total row comes from an explicit global agg so
+    # it exists even over an EMPTY table (standard SQL; Spark's Expand
+    # yields nothing from nothing) — same contract as rollup_orders
+    partial = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.grouping_id().alias("gid"), *aggs)
+    total = o.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(3).alias("gid"),
+        "n_orders",
+        "sum_total",
     )
+    return partial.unionByName(total)
 
 
 @query(

@@ -143,6 +143,8 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free pass ending in TakeOrderedAndProject."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
     qv = F.array(*[F.lit(float(x)) for x in qrow.embedding])
     sim = F.round(cosine(as_double("embedding"), qv), 6)
     return (
@@ -227,8 +229,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_topk_bruteforce is additionally pinned in tests/test_similarity.py.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    dim = len(e.select("embedding").first().embedding)
-    sig = signature_udf(dim)
+    head = e.select("embedding").first()
+    if head is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, bucket string")
+    sig = signature_udf(len(head.embedding))
     return e.select("vec_id", "label", sig("embedding").alias("bucket"))
 
 
@@ -273,8 +277,10 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.95 and 0.99 in tests/test_similarity.py.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    dim = len(e.select("embedding").first().embedding)
-    sig = signature_udf(dim)
+    head = e.select("embedding").first()
+    if head is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
+    sig = signature_udf(len(head.embedding))
     v_df = stage(
         e.select("vec_id", as_double("embedding").alias("v"), sig("embedding").alias("bucket")),
         "neardup-sig",
@@ -365,6 +371,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
     qv_np = np.asarray(qrow.embedding, dtype=np.float64)
 
     cent_rows = (
@@ -649,6 +657,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     there."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     head = e.orderBy("vec_id").select("vec_id", "embedding").limit(PQ_K).collect()
+    if not head:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
     CB = np.array([r.embedding for r in head], dtype=np.float64)
     cb_sub = CB.reshape(PQ_K, PQ_M, PQ_DSUB).transpose(1, 0, 2)  # M x K x dsub
     qid = head[0].vec_id
@@ -763,6 +773,8 @@ def ann_pq_topk_trained(
     sample_rows = (
         e.orderBy("vec_id").select("vec_id", "embedding").limit(PQ_TRAIN_SAMPLE).collect()
     )
+    if not sample_rows:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
     S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     cb_sub = pq_train_codebook(S)
     qid = sample_rows[0].vec_id if query_id is None else query_id
@@ -797,6 +809,8 @@ def ann_ivf_topk_trained(
     sample_rows = (
         e.orderBy("vec_id").select("vec_id", "embedding").limit(PQ_TRAIN_SAMPLE).collect()
     )
+    if not sample_rows:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
     S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     cents = kmeans_train(S, n_cells)
     qid = sample_rows[0].vec_id if query_id is None else query_id

@@ -75,9 +75,12 @@ def count_window_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in counts:
         offsets[r.pid] = acc
         acc += r.c
+    # tiny (#partitions entries) — inlined, no join; empty input keeps a
+    # placeholder entry (create_map() with zero args is invalid; the
+    # frame it decorates has no rows to look up anyway)
     off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )  # tiny (#partitions entries) — inlined, no join
+        *([F.lit(x) for kv in offsets.items() for x in kv] or [F.lit(0), F.lit(0)])
+    )
     return (
         numbered.withColumn("rn", F.col("prn") + off[F.col("pid")])
         .groupBy(((F.col("rn") - 1) / 10).cast("long").alias("batch_id"))
