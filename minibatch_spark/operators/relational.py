@@ -1148,15 +1148,19 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (o_orderpriority itself can be NULL, which a plain join key would
     # drop). Both frames are |priorities|-sized; the join is broadcast.
     tot = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
-    return piv.join(
-        F.broadcast(tot),
-        piv["o_orderpriority"].eqNullSafe(tot["o_orderpriority"]),
-    ).select(
-        piv["o_orderpriority"],
-        F.col("F").alias("rev_f"),
-        F.col("O").alias("rev_o"),
-        F.col("P").alias("rev_p"),
-        "n_orders",
+    return (
+        piv.alias("p")
+        .join(
+            F.broadcast(tot.alias("t")),
+            F.col("p.o_orderpriority").eqNullSafe(F.col("t.o_orderpriority")),
+        )
+        .select(
+            F.col("p.o_orderpriority").alias("o_orderpriority"),
+            F.col("F").alias("rev_f"),
+            F.col("O").alias("rev_o"),
+            F.col("P").alias("rev_p"),
+            "n_orders",
+        )
     )
 
 
