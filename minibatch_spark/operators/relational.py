@@ -942,8 +942,10 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_collect",
     oracle="""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END,
+                               0.5), 6) AS p50,
+           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END,
+                               0.95), 6) AS p95,
            array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv
     FROM events
     GROUP BY event_type
@@ -955,11 +957,17 @@ def agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized to CSV so the result stays scalar-hashable (raw array
     columns break order-insensitive canonicalization). At 100 TB prefer
     approx_percentile (t-digest sketch, mergeable map-side) — exact
-    percentile needs the full group in one place."""
+    percentile needs the full group in one place.
+
+    NaN contract (NaN-injection sweep): percentiles over a MEASURE skip
+    NaN like NULL on both engines — explicitly, because the engines'
+    defaults diverge (Spark's percentile sorts NaN greatest, DuckDB's
+    quantile_cont propagates NaN)."""
     e = load_table(spark, sf_dir, "events")
+    v = F.when(~F.isnan("value"), F.col("value"))
     return e.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 6).alias("p50"),
-        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile(v, 0.5), 6).alias("p50"),
+        F.round(F.percentile(v, 0.95), 6).alias("p95"),
         F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("users_csv"),
     )
 
@@ -1243,7 +1251,8 @@ def scalar_math_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pandas_udaf_geomean",
     oracle="""
     SELECT event_type,
-           ROUND(EXP(AVG(LN(1 + ABS(value)))), 6) AS geo_mean_1p
+           ROUND(EXP(AVG(LN(1 + ABS(CASE WHEN isnan(value) THEN NULL
+                                         ELSE value END)))), 6) AS geo_mean_1p
     FROM events
     GROUP BY event_type
     """,
@@ -1266,7 +1275,11 @@ def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def geomean1p(v: pd.Series) -> float:
-        return float(np.exp(np.log1p(np.abs(v)).mean()))
+        # NaN contract: skip like NULL (pandas .mean() already skips NaN;
+        # made explicit so the oracle's CASE WHEN isnan matches exactly,
+        # including all-NaN groups -> null)
+        vals = np.log1p(np.abs(v.dropna()))
+        return float(np.exp(vals.mean())) if len(vals) else None
 
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
