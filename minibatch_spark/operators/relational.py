@@ -619,8 +619,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_gaps",
     oracle="""
     SELECT event_id, user_id,
-           epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+           CAST(fdiv(epoch_us(ts), 1000) AS BIGINT)
+             - CAST(fdiv(epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)), 1000) AS BIGINT)
+             AS gap_ms
     FROM events
     """,
 )
@@ -642,7 +644,7 @@ def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+             CASE WHEN CAST(fdiv(epoch_us(ts), 1000) AS BIGINT) - CAST(fdiv(epoch_us(LAG(ts) OVER w), 1000) AS BIGINT) > 1800000
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -656,7 +658,7 @@ def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS span_ms
+           CAST(fdiv(epoch_us(MAX(ts)), 1000) AS BIGINT) - CAST(fdiv(epoch_us(MIN(ts)), 1000) AS BIGINT) AS span_ms
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -1020,7 +1022,7 @@ def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_clicks",
     oracle="""
     SELECT p.event_id, p.user_id,
-           epoch_ms(p.ts) - epoch_ms(c.ts) AS ms_since_click
+           CAST(fdiv(epoch_us(p.ts), 1000) AS BIGINT) - CAST(fdiv(epoch_us(c.ts), 1000) AS BIGINT) AS ms_since_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -121,7 +121,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_events",
     oracle="""
-    SELECT epoch_ms(((epoch_ms(e.ts) // 1000 // 1800) - off.o) * 1800000)
+    SELECT epoch_ms((CAST(fdiv(epoch_us(e.ts), 1800000000) AS BIGINT) - off.o) * 1800000)
              AS window_start,
            COUNT(*) AS n_events,
            CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
