@@ -261,21 +261,39 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(list_cosine_similarity(sa.ve, sb.ve), 6) >= {NEAR_DUP_THRESHOLD}
     """,
 )
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = BAND_BITS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
     """Embedding near-dup pairs: banded LSH candidates + exact cosine verify.
 
-    The 32-bit signature splits into 8 bands of 4 bits; a pair is a
-    candidate if ANY band matches (multi-probe by banding, vs a single
-    exact-match bucket whose recall collapses). Candidates join per
-    (band_id, band_key) bucket; the exact cosine verify joins candidates
-    back to the staged signature table on vec_id (AQE broadcasts the
-    small side at test scale; at 100 TB both joins shuffle on their keys
-    — no cross join anywhere). Band width controls the
-    occupancy/recall trade (see BAND_BITS note: the r4 scale audit
-    caught the 2-bit quadratic). Fully hash-checked: the oracle replays
-    banding AND verify; planted-pair recall >= 0.9 pinned at cosine
-    0.95 and 0.99 in tests/test_similarity.py.
+    The 32-bit signature splits into ``n_bands`` bands of ``band_bits``
+    bits (defaults 8 x 4); a pair is a candidate if ANY band matches
+    (multi-probe by banding, vs a single exact-match bucket whose recall
+    collapses). Candidates join per (band_id, band_key) bucket; the exact
+    cosine verify joins candidates back to the staged signature table on
+    vec_id (AQE broadcasts the small side at test scale; at 100 TB both
+    joins shuffle on their keys — no cross join anywhere).
+
+    RECALL vs OCCUPANCY is the banding dial, and it is CALLER-VISIBLE:
+    the default 4-bit bands target the production near-dup regime —
+    planted-pair recall >= 0.9 pinned at cosine 0.95/0.99
+    (tests/test_similarity.py) — and give only ~0.6 recall at the
+    low-contrast cosine-0.4 regime (the round-4 retune traded that
+    recall for a 16x candidate-pair cut; the old 2-bit bands had ~1.0
+    recall there and a measured quadratic candidate blowup). Callers
+    targeting low-cosine thresholds should pass wider nets explicitly,
+    e.g. ``n_bands=16, band_bits=2``. Fully hash-checked at the default
+    banding: the oracle replays banding AND verify.
     """
+    if n_bands * band_bits > N_PLANES:
+        raise ValueError(
+            f"n_bands*band_bits ({n_bands}x{band_bits}) exceeds the "
+            f"{N_PLANES}-plane signature"
+        )
     e = spread(load_table(spark, sf_dir, "embeddings"))
     head = e.select("embedding").first()
     if head is None:  # empty corpus -> empty result, typed (no crash)
@@ -292,9 +310,9 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.substring("bucket", b * BAND_BITS + 1, BAND_BITS).alias("band_key"),
+                        F.substring("bucket", b * band_bits + 1, band_bits).alias("band_key"),
                     )
-                    for b in range(NEAR_DUP_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -317,7 +335,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -520,72 +538,240 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_DEDUP_THRESHOLD = 0.3  # the synthetic corpus has no planted
 #                            near-identical pairs; 0.3 sits at the ~99th
-#                            percentile of its within-label cosine
+#                            percentile of its within-cell cosine
 #                            distribution so the drop set is non-vacuous
 #                            at test scale. Real corpora use ~0.95+.
+SEM_CELL_TARGET = 50  # target vectors per cell: k = ceil(n / target), so
+#                       CELL COUNT SCALES WITH THE CORPUS and the per-cell
+#                       quadratic stays O(n * target) = linear total work.
+#                       50 keeps cells statistically meaningful at the
+#                       sf0.01 gate (200 vectors -> 4 cells); production
+#                       SemDeDup uses ~1e3-1e4.
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays, summed SEQUENTIALLY
+    in index order — the same order DuckDB's list_sum uses, so the result
+    is bit-identical cross-engine (no rounding contract needed before the
+    final ROUND for argmin stability)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cells(e_df: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (cid, cv) centroid table
+    against the corpus, score ROUND(d2, 6), argmin with ties to the lowest
+    cid (min_by on the (d2, cid) struct — lexicographic, deterministic).
+    The broadcast replicates centroids map-side, min_by partial-aggregates
+    per vec_id before the exchange, so the shuffle carries O(n) rows, not
+    O(n x k)."""
+    scored = e_df.crossJoin(F.broadcast(cents_df)).select(
+        "vec_id", "cid", F.round(_d2(F.col("ve"), F.col("cv")), 6).alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cell")
+    )
+
+
+def _within_cell_dedup(cells: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup within-cell pass over a staged (vec_id, cell, ve)
+    frame: self-join ON THE CELL ID ONLY (one shuffle, no cross-cell
+    pairs), drop the larger-id member of any pair with cosine >=
+    threshold — the deterministic keep-the-smallest-id greedy transitive
+    prune (chains A~B, B~C drop both B and C even when A!~C)."""
+    a, b = cells.alias("a"), cells.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.ve"), F.col("b.ve")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return cells.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+_SEM_D2_SQL = """ROUND(list_sum(list_transform(generate_series(1, len(e.ve)),
+           i -> (e.ve[i] - c.cv[i]) * (e.ve[i] - c.cv[i]))), 6)"""
 
 
 @query(
     "emb_semantic_dedup",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), kk AS (
+      SELECT CAST(ceil(COUNT(*) / {SEM_CELL_TARGET}.0) AS BIGINT) AS k FROM e
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             ve AS cv
+      FROM e
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+    ), a0 AS (
+      SELECT e.vec_id, c.cid, e.ve, {_SEM_D2_SQL} AS d2
+      FROM e CROSS JOIN c0 c
+    ), cell0 AS (
+      SELECT vec_id, cid AS cell, ve FROM a0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), cexp AS (
+      SELECT cell, unnest(generate_series(1, len(ve))) AS dim,
+             unnest(ve) AS val
+      FROM cell0
+    ), c1 AS (
+      SELECT cell AS cid, list(ROUND(avg_val, 6) ORDER BY dim) AS cv
+      FROM (SELECT cell, dim, SUM(val) / COUNT(*) AS avg_val
+            FROM cexp GROUP BY cell, dim)
+      GROUP BY cell
+    ), a1 AS (
+      SELECT e.vec_id, c.cid, e.ve, {_SEM_D2_SQL} AS d2
+      FROM e CROSS JOIN c1 c
+    ), cells AS (
+      SELECT vec_id, cid AS cell, ve FROM a1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
     ), drops AS (
       SELECT DISTINCT b.vec_id
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 6) >= {SEM_DEDUP_THRESHOLD}
     )
-    SELECT e.vec_id, e.label,
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
            CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
-    FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
     """,
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication filter (Abbas et al. 2023):
-    cluster the corpus into cells, compare pairs only WITHIN a cell, and
-    drop every vector that is the larger-id member of any pair with
-    cosine >= threshold (deterministic keep-the-smallest-id rule; chains
-    A~B, B~C drop both B and C even when A!~C — the standard greedy
-    transitive prune).
+    """SemDeDup semantic deduplication (Abbas et al. 2023): coarse-quantize
+    the corpus into k cells, compare pairs only WITHIN a cell, drop every
+    vector that is the larger-id member of any pair with cosine >=
+    threshold (keep-the-smallest-id greedy transitive prune).
 
-    Cells here are the ``label`` column standing in for k-means cell
-    assignments (same stance as ann_ivf_topk). Scale shape: the
-    within-cell self-join shuffles once on the cell id and does
-    O(cell_size^2) work per cell — that quadratic being bounded is the
-    POINT of SemDeDup: at 100 TB you pick k so cells hold ~1e3-1e4
-    vectors, and the join never crosses cells (no global pairwise). The
-    drop list is a sliver of the corpus; the final membership join
-    shuffles on vec_id (AQE broadcasts the drop side while it fits).
+    CELL COUNT SCALES WITH THE CORPUS — k = ceil(n / SEM_CELL_TARGET) —
+    which is the property the whole 100 TB argument rests on (and what
+    the round-4 scale audit flagged when cells came from the fixed-k
+    ``label`` column): per-cell pair work is O(n x target) = linear, and
+    the within-cell join never crosses cells. Cells are built as a
+    ONE-STEP Lloyd refinement of a deterministic seed (the k lowest-
+    vec_id vectors): assign -> distributed per-dim centroid means
+    (rounded 6dp on both engines, the emb_label_centroids contract) ->
+    reassign. Every stage is engine-replayable — sequential-order d2
+    sums are bit-identical cross-engine, argmin ties go to the lowest
+    cell id — so the DuckDB oracle hash-checks the ENTIRE pipeline
+    including the clustering. ``emb_semantic_dedup_trained`` swaps the
+    refinement for a full seeded k-means (the production path).
 
-    Not in the reference (no vector ops — SURVEY §2.12 north-star)."""
+    Scale shape: assignment broadcasts the k x dim centroid table and
+    shuffles O(n) assignments; the centroid refresh shuffles (cell, dim)
+    partial sums; the within-cell self-join shuffles once on cell id.
+    At extreme n (k in the millions) assignment goes hierarchical
+    (coarse cells, then sub-cells — two bounded broadcasts); documented,
+    not needed at any bench scale. Not in the reference (no vector ops —
+    SURVEY §2.12 north-star)."""
+    import math
+
     e = spread(load_table(spark, sf_dir, "embeddings"))
+    n = e.count()
+    if n == 0:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, cell int, keep int")
+    k = max(1, math.ceil(n / SEM_CELL_TARGET))
     v_df = stage(
-        e.select("vec_id", "label", as_double("embedding").alias("ve")),
-        "semdedup-vec",
+        e.select("vec_id", as_double("embedding").alias("ve")), "semdedup-vec"
     )
-    a, b = v_df.alias("a"), v_df.alias("b")
-    drops = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    from pyspark.sql import Window
+
+    c0 = (
+        v_df.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cid",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
         )
-        .filter(
-            F.round(cosine(F.col("a.ve"), F.col("b.ve")), 6)
-            >= F.lit(SEM_DEDUP_THRESHOLD)
-        )
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
+        .select("cid", F.col("ve").alias("cv"))
     )
-    return (
-        v_df.join(drops, "vec_id", "left")
-        .select(
+    cell0 = v_df.join(_assign_cells(v_df, c0), "vec_id")
+    cexp = cell0.select("cell", F.posexplode("ve").alias("pos", "val"))
+    c1 = (
+        cexp.groupBy("cell", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select(F.col("cell").alias("cid"), "cv")
+    )
+    cells = stage(
+        v_df.join(_assign_cells(v_df, c1), "vec_id"), "semdedup-cells"
+    )
+    return _within_cell_dedup(cells, SEM_DEDUP_THRESHOLD)
+
+
+@query("emb_semantic_dedup_trained")  # no SQL oracle: seeded Lloyd k-means
+#   (kmeans_train) is iterative/numpy — the driver records the rows-only
+#   check; exactness is pinned by a bit-level numpy replay plus planted
+#   near-dup recall in tests/test_similarity.py, and the oracle-backed
+#   emb_semantic_dedup hash-checks the identical downstream pipeline.
+def emb_semantic_dedup_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_target: int = SEM_CELL_TARGET,
+    threshold: float = SEM_DEDUP_THRESHOLD,
+) -> DataFrame:
+    """``emb_semantic_dedup`` with FULLY-TRAINED k-means cells — the
+    production SemDeDup composition the round-4 audit asked for: k =
+    ceil(n / cell_target) scales with the corpus, centroids come from
+    ``kmeans_train`` on a bounded seeded sample (>= 4 rows per centroid,
+    capped like PQ_TRAIN_SAMPLE), assignment is one Arrow-batched matmul
+    pass (cells ride in the UDF closure), and the within-cell prune is
+    the same one-shuffle self-join as the oracle-backed variant.
+
+    Why this closes the scale flag: nothing here trusts a caller-supplied
+    cell column — the operator itself enforces cells ~ cell_target
+    vectors at ANY corpus size, bounding the per-cell quadratic to
+    O(n x cell_target) total. Driver-side state is the k x dim codebook
+    (same bound as ann_ivf_topk_trained); at extreme n train/assign go
+    hierarchical, per the emb_semantic_dedup docstring."""
+    import math
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    n = e.count()
+    if n == 0:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, cell int, keep int")
+    k = max(1, math.ceil(n / cell_target))
+    sample_n = min(n, max(PQ_TRAIN_SAMPLE, 4 * k))
+    sample_rows = (
+        e.orderBy("vec_id").select("embedding").limit(sample_n).collect()
+    )
+    S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
+    cents = kmeans_train(S, min(k, len(S)))
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    cells = stage(
+        e.select(
             "vec_id",
-            "label",
-            F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
-        )
+            as_double("embedding").alias("ve"),
+            cell_of("embedding").alias("cell"),
+        ),
+        "semdedup-trained-cells",
     )
+    return _within_cell_dedup(cells, threshold)
 
 
 PQ_M = 8  # subquantizers
@@ -716,6 +902,16 @@ PQ_TRAIN_SAMPLE = 512  # codebook training sample (driver-side bound)
 IVF_TRAIN_CELLS = 8
 
 
+def _query_vec(e: DataFrame, qid) -> np.ndarray:
+    """Fetch one query vector by id, failing loudly (clear ValueError, not
+    an AttributeError on None) when the id is absent from the corpus —
+    the same explicitness as the empty-corpus guards."""
+    row = e.filter(F.col("vec_id") == qid).select("embedding").first()
+    if row is None:
+        raise ValueError(f"query_id {qid!r} not present in the corpus")
+    return np.asarray(row.embedding, dtype=np.float64)
+
+
 def kmeans_train(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
     """Deterministic seeded Lloyd k-means on a BOUNDED sample — the
     codebook trainer for PQ subquantizers and IVF coarse cells. Plain
@@ -725,10 +921,13 @@ def kmeans_train(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.n
 
     Determinism contract (same inputs -> bit-identical codebook on any
     host): seeded init (RNG permutation of distinct rows), argmin ties to
-    the lowest centroid id, empty clusters re-seeded to the point
-    farthest from its assigned centroid (deterministic, no RNG draw in
-    the loop), fixed iteration count with early exit on exact
-    assignment fixpoint."""
+    the lowest centroid id, empty clusters re-seeded to the farthest-
+    from-assigned-centroid points in descending-distance order — each
+    empty cluster gets the NEXT farthest point, so two clusters emptying
+    in the same iteration can never receive the same reseed (duplicate
+    centroids would stay fused forever: argmin ties go to the lowest id)
+    — fixed iteration count with early exit on exact assignment
+    fixpoint."""
     n = len(X)
     rng = np.random.default_rng(seed)
     cents = X[rng.permutation(n)[:k]].astype(np.float64).copy()
@@ -739,13 +938,17 @@ def kmeans_train(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.n
         if prev_assign is not None and np.array_equal(assign, prev_assign):
             break
         prev_assign = assign
+        # descending own-centroid distance; stable sort keeps tie order
+        # deterministic (lowest row index first, like argmax did)
+        far_order = np.argsort(-d2[np.arange(n), assign], kind="stable")
+        next_far = 0
         for c in range(k):
             members = X[assign == c]
             if len(members):
                 cents[c] = members.mean(0)
             else:
-                far = d2[np.arange(n), assign].argmax()
-                cents[c] = X[far]
+                cents[c] = X[far_order[next_far]]
+                next_far += 1
     return cents
 
 
@@ -778,14 +981,7 @@ def ann_pq_topk_trained(
     S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     cb_sub = pq_train_codebook(S)
     qid = sample_rows[0].vec_id if query_id is None else query_id
-    q_np = (
-        S[0]
-        if query_id is None
-        else np.asarray(
-            e.filter(F.col("vec_id") == qid).select("embedding").first().embedding,
-            dtype=np.float64,
-        )
-    )
+    q_np = S[0] if query_id is None else _query_vec(e, qid)
     return _pq_rank(e, cb_sub, q_np, exclude_id=qid, k=k)
 
 
@@ -814,14 +1010,7 @@ def ann_ivf_topk_trained(
     S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     cents = kmeans_train(S, n_cells)
     qid = sample_rows[0].vec_id if query_id is None else query_id
-    q_np = (
-        S[0]
-        if query_id is None
-        else np.asarray(
-            e.filter(F.col("vec_id") == qid).select("embedding").first().embedding,
-            dtype=np.float64,
-        )
-    )
+    q_np = S[0] if query_id is None else _query_vec(e, qid)
 
     @pandas_udf("int")
     def cell_of(emb: pd.Series) -> pd.Series:

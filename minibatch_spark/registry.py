@@ -42,6 +42,7 @@ def _load_all() -> None:
     from minibatch_spark.operators import (  # noqa: F401
         curation,
         dedup,
+        incremental,
         multimodal,
         relational,
         similarity,

@@ -1,0 +1,117 @@
+"""Incremental dedup store invariants beyond the DuckDB oracle (the oracle
+already proves two-shard == single-pass on the real corpus; these pin the
+semantics on adversarial synthetic shards and the store's append-immunity).
+
+Reference analog: the consume-once buffer contract
+(/root/reference/minibatch/models.py:139-151) and the 10/2=>5 batch
+invariant style of its tests/test_minibatch.py:48-87 — here as a two-shard
+invariant: shard2's duplicates against shard1 are caught from the signature
+store alone, without re-reading shard1's documents.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _store(spark, tmp_path, name="store"):
+    from minibatch_spark.operators.incremental import MinhashDedupStore
+
+    return MinhashDedupStore(spark, os.path.join(str(tmp_path), name))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content about spark partitions and shuffles here"
+
+
+def test_second_shard_dups_caught_from_store(spark, tmp_path):
+    """Shard2 exact copy and near copy of shard1 docs are dropped; novel
+    content keeps. Shard1's documents are NOT re-read — the store holds
+    only hashes and signatures."""
+    store = _store(spark, tmp_path)
+    r1 = store.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]))
+    assert {r.doc_id: r.keep for r in r1.collect()} == {1: 1, 2: 1}
+    r2 = store.process_batch(
+        _docs(spark, [(10, BASE), (11, NEAR), (12, "tiny new doc here ok")])
+    )
+    got = {r.doc_id: r.keep for r in r2.collect()}
+    assert got[10] == 0  # exact dup of shard1's doc 1 (store hash hit)
+    assert got[11] == 0  # near dup of shard1's doc 1 (signature store hit)
+    assert got[12] == 1  # novel content survives
+
+
+def test_within_shard_lowest_id_wins(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    r = store.process_batch(
+        _docs(spark, [(5, BASE), (3, BASE), (7, NEAR), (9, OTHER)])
+    )
+    got = {r_.doc_id: r_.keep for r_ in r.collect()}
+    # 3 is the exact-dup rep (lowest id); 5 exact-dropped; 7 near-dropped
+    assert got == {3: 1, 5: 0, 7: 0, 9: 1}
+
+
+def test_two_shard_equals_single_pass_on_corpus(spark, tmp_path):
+    """Batch invariance on the real sf0.001 corpus: one shard through a
+    fresh store == the registered two-shard query == three shards."""
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.registry import all_queries
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    single = _store(spark, tmp_path, "single")
+    one = {r.doc_id: r.keep for r in single.process_batch(docs).collect()}
+
+    two = {
+        r.doc_id: r.keep
+        for r in all_queries()["dedup_incremental_minhash"](spark, SF_SMOKE).collect()
+    }
+    assert one == two
+
+    tri = _store(spark, tmp_path, "tri")
+    parts = [
+        docs.filter(F.col("doc_id") % 500 < 167),
+        docs.filter((F.col("doc_id") % 500 >= 167) & (F.col("doc_id") % 500 < 334)),
+        docs.filter(F.col("doc_id") % 500 >= 334),
+    ]
+    # NOTE: id-ordered shards are the exactness contract; these modulo
+    # splits are ascending ranges for the dense 0..499 ids of sf0.001
+    three = {}
+    for p in parts:
+        three.update(
+            {r.doc_id: r.keep for r in tri.process_batch(p).collect()}
+        )
+    assert one == three
+
+
+def test_earlier_shard_result_survives_later_appends(spark, tmp_path):
+    """Append-immunity regression (the round-5 bug): shard1's returned
+    frame must keep its values after shard2 grows the store — the store
+    reads pin a file-list snapshot, so even a cache-evicted recompute of
+    shard1's lineage cannot observe shard2's appends."""
+    store = _store(spark, tmp_path)
+    r1 = store.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]))
+    before = sorted((r.doc_id, r.keep) for r in r1.collect())
+    store.process_batch(_docs(spark, [(10, BASE), (11, NEAR)]))
+    # force lineage recompute of shard1's result (cache dropped)
+    r1.unpersist(blocking=True)
+    after = sorted((r.doc_id, r.keep) for r in r1.collect())
+    assert before == after == [(1, 1), (2, 1)]
+
+
+def test_short_docs_only_exact_deduped(spark, tmp_path):
+    """Docs under 3 tokens have no shingles/signature: exact duplicates are
+    still caught (hash store), near-dup logic never fires (no signature to
+    pair on) — the dedup_minhash_pairs contract carried over."""
+    store = _store(spark, tmp_path)
+    r1 = store.process_batch(_docs(spark, [(1, "hi there"), (2, "yo")]))
+    assert {r.doc_id: r.keep for r in r1.collect()} == {1: 1, 2: 1}
+    r2 = store.process_batch(_docs(spark, [(3, "hi there"), (4, "hi  there")]))
+    got = {r.doc_id: r.keep for r in r2.collect()}
+    assert got[3] == 0  # byte-exact dup across shards
+    assert got[4] == 1  # whitespace variant: different bytes, no signature

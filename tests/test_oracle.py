@@ -82,9 +82,13 @@ def test_entry(spark):
     # every query key has either an oracle or is explicitly rows-only
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
-    # the STATUS.md claim, pinned: EVERY registered query carries an
-    # oracle (zero rows-only checks) and the registry hasn't shrunk
-    assert set(o) == set(q) and len(q) >= 107
+    # the STATUS.md claim, pinned: every registered query carries an
+    # oracle EXCEPT the explicit allowlist below (genuinely non-SQL ops —
+    # iterative k-means training; each pinned instead by a bit-level
+    # numpy-replay test), and the registry hasn't shrunk. Adding a
+    # rows-only query without listing it here goes red.
+    ROWS_ONLY = {"emb_semantic_dedup_trained"}
+    assert set(q) - set(o) == ROWS_ONLY and len(q) >= 107
 
 
 def test_q1_extraction_paths_agree_on_real_data(spark):

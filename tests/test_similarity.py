@@ -253,3 +253,70 @@ def test_trained_pq_ivf_recall_on_planted_pairs(spark, duck, tmp_path):
             got_ivf = [r.vec_id for r in
                        ann_ivf_topk_trained(spark, sf_dir, query_id=copy).collect()]
             assert base in got_ivf
+
+
+def test_semantic_dedup_trained_matches_numpy_replay(spark, duck):
+    """emb_semantic_dedup_trained: bit-level numpy replay of the full
+    pipeline (bounded-sample kmeans_train -> matmul cell assignment ->
+    within-cell rounded-cosine prune, larger-id dropped) must agree with
+    the Spark result row-for-row — the exactness pin standing in for the
+    SQL oracle the iterative trainer can't have."""
+    from minibatch_spark.operators.similarity import (
+        PQ_TRAIN_SAMPLE,
+        SEM_CELL_TARGET,
+        SEM_DEDUP_THRESHOLD,
+        kmeans_train,
+    )
+    from minibatch_spark.registry import all_queries
+
+    ids, V = _vectors(duck)
+    n = len(ids)
+    import math
+
+    k = max(1, math.ceil(n / SEM_CELL_TARGET))
+    S = V[: min(n, max(PQ_TRAIN_SAMPLE, 4 * k))]
+    cents = kmeans_train(S, min(k, len(S)))
+    cell = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    dropped = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and round(float(Vn[i] @ Vn[j]), 6) >= SEM_DEDUP_THRESHOLD:
+                dropped.add(ids[j])
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in all_queries()["emb_semantic_dedup_trained"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == n
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == cell[i], f"cell mismatch for {vid}"
+        assert got[vid][1] == (0 if vid in dropped else 1), f"keep mismatch for {vid}"
+
+
+def test_semantic_dedup_trained_drops_planted_dups(spark, duck, tmp_path):
+    """Planted perturbed copies at cosine 0.99 (far above the 0.3 test
+    threshold) must be dropped (keep=0) with recall >= 0.9 — the operator's
+    end-to-end SemDeDup contract: a near-identical pair lands in one cell
+    and the larger id loses."""
+    from minibatch_spark.operators.similarity import emb_semantic_dedup_trained
+
+    sf_dir, pairs = _planted_corpus(tmp_path, duck, 0.99, 40, seed=13)
+    rows = emb_semantic_dedup_trained(spark, sf_dir).collect()
+    keep = {r.vec_id: r.keep for r in rows}
+    hit = sum(1 for _, copy in pairs if keep[copy] == 0)
+    recall = hit / len(pairs)
+    assert recall >= 0.9, f"planted drop recall {recall}"
+
+
+def test_semantic_dedup_cell_count_scales_with_corpus():
+    """The scale contract itself: k = ceil(n / SEM_CELL_TARGET) grows
+    linearly with the corpus, so per-cell pair work stays O(n x target)."""
+    import math
+
+    from minibatch_spark.operators.similarity import SEM_CELL_TARGET
+
+    k = lambda n: max(1, math.ceil(n / SEM_CELL_TARGET))
+    assert k(500) == 10
+    assert k(5000) == 100
+    assert k(5_000_000) == 100_000
+    assert k(1) == 1 and k(0) == 1

@@ -559,9 +559,14 @@ def test_drain_until_quiet_waits_for_inflight_input(spark, tmp_path):
         assert await_condition(lambda: sunk() >= 1, timeout=30)
         # idle source -> quiet within the timeout
         assert drain_until_quiet(q, quiet_seconds=1.0, timeout=30)
-        # new input arrives -> the next drain must see it consumed first
+        # new input arrives -> the next drain must see it consumed first.
+        # Wait for the 200ms-trigger file source to DISCOVER the new file
+        # before draining: on a loaded host discovery can exceed the 1.0s
+        # quiet window, and drain_until_quiet would (correctly) report the
+        # stream quiet while the row is still upstream of the source.
         s.append({"i": 1}, created=T0 + timedelta(seconds=1))
         s.flush()
+        assert await_condition(lambda: sunk() >= 2, timeout=30)
         assert drain_until_quiet(q, quiet_seconds=1.0, timeout=30)
         assert sunk() == 2  # quiet only after the in-flight row landed
     finally:

@@ -25,20 +25,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float]:
-    out: dict[str, float] = {}
+def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float | None]:
+    """Best-of-reps wall per query; None (JSON null, never NaN) for a query
+    with NO successful rep. A failure on a later rep keeps the best earlier
+    timing instead of discarding it — and every failure is loud on stderr,
+    so a vanished query can't silently drop out of the flag lists."""
+    out: dict[str, float | None] = {}
     for name in sorted(queries):
         fn = queries[name]
         best = float("inf")
-        try:
-            for _ in range(reps):
+        for _ in range(reps):
+            try:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).collect()
                 best = min(best, time.monotonic() - t0)
-        except Exception as e:  # record and continue
-            print(f"ERR {name} @ {sf_dir}: {e}", file=sys.stderr)
-            best = float("nan")
-        out[name] = round(best, 3)
+            except Exception as e:  # record and continue with the next rep
+                print(f"ERR {name} @ {sf_dir}: {e}", file=sys.stderr)
+        out[name] = round(best, 3) if best != float("inf") else None
         print(f"{sf_dir.rsplit('/',1)[-1]} {name} {out[name]}", file=sys.stderr)
         spark.catalog.clearCache()
     return out
@@ -56,10 +59,12 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
         n: {
             "a_sec": a[n],
             "b_sec": b[n],
-            "ratio": round(b[n] / a[n], 2) if a[n] and a[n] == a[n] else None,
+            "ratio": round(b[n] / a[n], 2) if a[n] and b[n] is not None else None,
         }
         for n in sorted(queries)
     }
+    # a query that FAILED on either side is flagged explicitly, not dropped
+    failed = [n for n, r in rows.items() if r["a_sec"] is None or r["b_sec"] is None]
     sup = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > data_ratio]
     bad = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > 2 * data_ratio]
     print(
@@ -69,9 +74,11 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
                 "b_dir": b_dir,
                 "data_ratio": data_ratio,
                 "queries": rows,
+                "failed": failed,
                 "super_linear": sup,
                 "flagged_2x": bad,
-            }
+            },
+            allow_nan=False,  # fail loudly if a NaN ever sneaks back in
         )
     )
 
