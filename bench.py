@@ -4,14 +4,23 @@
 JSON line:
 
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...},
+   "queries_collect": {...}, "value_collect": N, "sf": 0.1}
 
-Timing includes plan construction + execution + result fetch (collect) per
-query. Each query is measured REPS times (after an uncounted sf0.01 warmup
-pass over every headline plan shape, so JIT/codegen is steady-state) and the
-per-query MINIMUM is reported — the standard way to strip co-tenant /
-hypervisor noise from a single-node measurement; the min is the number the
-hardware can actually do.
+HEADLINE timing ("queries"/"value") is OPERATOR time: plan construction +
+full execution into a noop sink (df.write.format("noop") — every operator
+runs, nothing crosses to the driver). "queries_collect" adds driver
+result fetch (collect) — reported alongside because round-4 profiling
+showed collect DOMINATING full-projection queries at sf >= 1 (sessionize
+at sf10: 6.8 s operator vs 29.3 s with collect), so a collect-inclusive
+headline would hide plan regressions behind a constant driver-transfer
+cost the real engine (writing to storage) never pays.
+
+Each query is measured REPS times per surface (after an uncounted sf0.01
+warmup pass over every headline plan shape, so JIT/codegen is
+steady-state) and the per-query MINIMUM is reported — the standard way to
+strip co-tenant / hypervisor noise from a single-node measurement; the min
+is the number the hardware can actually do.
 
 Semantics of the min for staged pipelines: rep 1 pays stage
 materialization (shingle table, signature table); later reps reuse the
@@ -74,15 +83,21 @@ def main() -> None:
 
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
+    per_query_collect: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        best_op = best_cl = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best_op = min(best_op, time.perf_counter() - t0)
         for _ in range(REPS):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
+            best_cl = min(best_cl, time.perf_counter() - t0)
             assert rows is not None
-        per_query[name] = round(best, 3)
+        per_query[name] = round(best_op, 3)
+        per_query_collect[name] = round(best_cl, 3)
         spark.catalog.clearCache()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
@@ -94,6 +109,8 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_collect": per_query_collect,
+                "value_collect": round(sum(per_query_collect.values()), 3),
                 "sf": sf,
             }
         )

@@ -681,3 +681,57 @@ def test_randomized_restart_cycles_exactly_once(spark, tmp_path):
         for r in _pq.read_table(f).to_pylist()
     )
     assert seen == list(range((sent // 3) * 3))  # every msg once, no gaps
+
+
+def test_compact_during_inflight_reader_no_loss(spark, tmp_path):
+    """Chaos: an in-flight streaming reader + concurrent compact()+append
+    loses NO rows (round-4 verdict #8 — the small-file story's last
+    unproven edge). Contract: compaction is at-least-once for concurrent
+    streaming consumers — the merged file is new to the source so rows
+    from already-processed originals may duplicate, but every appended
+    row must reach the sink at least once, and the query must survive
+    the originals being unlinked mid-stream."""
+    import json as _json
+    import os as _os
+
+    from minibatch_spark.streaming.drain import await_condition
+    from minibatch_spark.streaming.models import SPARK_DDL
+
+    s = _mk(tmp_path, name="chaoscompact")
+    for i in range(20):
+        s.append({"i": i})
+        s.flush()
+    sink = _os.path.join(str(tmp_path), "chaos-sink")
+    q = (
+        spark.readStream.schema(SPARK_DDL)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(s.buffer_dir)
+        .writeStream.trigger(processingTime="100 milliseconds")
+        .option(
+            "checkpointLocation", _os.path.join(str(tmp_path), "chaos-ck")
+        )
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    try:
+        for i in range(20, 100):
+            s.append({"i": i})
+            s.flush()
+            if i % 10 == 0:
+                s.compact(target_rows=50)
+        s.compact(target_rows=10_000)
+
+        def seen():
+            try:
+                rows = spark.read.parquet(sink).select("data").collect()
+            except Exception:
+                return set()
+            return {_json.loads(r.data)["i"] for r in rows}
+
+        assert await_condition(lambda: seen() >= set(range(100)), timeout=60), (
+            f"missing rows: {sorted(set(range(100)) - seen())[:10]}"
+        )
+        assert q.exception() is None
+    finally:
+        q.stop()

@@ -138,11 +138,28 @@ def gen(sf: float, out_root: str) -> str:
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_evt)]),
     }))
 
-    # documents: word-soup over the observed vocab, 8-96 words, ~1.5%
-    # exact-duplicate rows (the dedup queries need a non-empty dup set)
-    vocab = np.array(VOCAB)
+    # documents: Zipf word-soup over an OPEN vocabulary that GROWS with
+    # corpus size (~sqrt(n_doc), Heaps'-law-ish), 8-96 words, ~1.5%
+    # exact-duplicate rows (the dedup queries need a non-empty dup set).
+    # Round-4 verdict #4: the old closed 31-word vocab made 3-gram
+    # shingle document-frequency grow LINEARLY with the corpus, so every
+    # shingle became "hot" at sf >= 1 and the shingle-join dedup family
+    # measured artificially quadratic. With an open vocab the distinct-
+    # shingle count scales with the corpus and per-shingle posting lists
+    # stay bounded — the regime real text actually has. The base VOCAB
+    # words keep the highest Zipf ranks so small-sf text stays alike.
+    n_vocab = max(len(VOCAB), int(round(2000 * np.sqrt(n_doc / 50_000))))
+    vocab = np.array(
+        VOCAB + [f"w{i}" for i in range(n_vocab - len(VOCAB))]
+    )
+    zipf_w = 1.0 / np.arange(1, n_vocab + 1) ** 1.1
+    zipf_cdf = np.cumsum(zipf_w / zipf_w.sum())
     lens = rng.integers(8, 97, n_doc)
-    texts = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
+    draws = np.searchsorted(zipf_cdf, rng.random(int(lens.sum())))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [
+        " ".join(vocab[draws[offs[i] : offs[i + 1]]]) for i in range(n_doc)
+    ]
     dup_src = rng.integers(0, n_doc, max(1, n_doc // 70))
     for i, s in enumerate(dup_src):
         texts[(s + 7 * (i + 1)) % n_doc] = texts[s]
