@@ -302,3 +302,134 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, frame_idx int, frame_digest string"
     )
     return blobs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal -> similarity bridge (round-5 verdict #5): decoded image
+# features flow into the ANN family's exact-scoring and banded-LSH
+# machinery. Features are mean-centered (byte/255 lives in [0,1]; -0.5
+# decorrelates the all-positive cone so cosine contrast is meaningful —
+# the standard trick before angular LSH on non-negative features).
+# ---------------------------------------------------------------------------
+
+_FEATURES_SQL = """
+      SELECT doc_id,
+             list_transform(generate_series(0, 7),
+               d -> CAST(('0x' || substring(md5(text), 5 + 2 * d, 2))
+                         AS INTEGER) / 255.0 - 0.5) AS fv
+      FROM documents
+"""
+
+
+def decoded_feature_vectors(
+    spark: SparkSession, sf_dir: str, codec=None
+) -> DataFrame:
+    """documents -> blobs -> mapInPandas decode -> CENTERED feature vectors
+    (vec_id, v array<double>) — the frame every ANN-family operator
+    consumes. Swap ``codec=pil_decode`` for real image features; the
+    Spark-side plumbing (Arrow batches, partition preservation, schema) is
+    identical either way."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    decoded = decode_features(blobs, "blob", "doc_id", codec=codec)
+    return decoded.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("features", lambda x: x - F.lit(0.5)).alias("v"),
+    )
+
+
+@query(
+    "multimodal_feature_topk",
+    oracle=f"""
+    WITH f AS ({_FEATURES_SQL}
+    ), q AS (
+      SELECT doc_id AS query_id, fv AS qv FROM f ORDER BY doc_id LIMIT 8
+    ), scored AS (
+      SELECT q.query_id, f.doc_id,
+             ROUND(list_cosine_similarity(f.fv, q.qv), 6) AS cos_sim
+      FROM f, q WHERE f.doc_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, doc_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, doc_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image similarity search END-TO-END: blob -> decoded feature vector
+    -> batched exact cosine top-5 for 8 query images in ONE corpus pass —
+    the ann_topk_batch plan (broadcast query batch, map-side scoring,
+    WindowGroupLimit) running on DECODED MULTIMODAL FEATURES instead of a
+    stored embedding column. This is the bridge's REGISTERED surface
+    because its cost is one linear scan + an (8 x 5)-row shuffle at any
+    corpus size; the banded near-dup composition (image_near_dup_pairs
+    below) is pytest-pinned instead — at the md5 stub's 8-dim regime its
+    candidate set is output-bound, exactly the emb_near_dup_pairs
+    low-contrast analysis. The md5-derived stub features are replayed
+    bit-for-bit by the oracle (division-then-centering is the same IEEE
+    double sequence in both engines)."""
+    from pyspark.sql import Window
+
+    feats = decoded_feature_vectors(spark, sf_dir)
+    q = (
+        feats.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def l2(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    scored = feats.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (l2(F.col("v")) * l2(F.col("qv"))), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "doc_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+IMAGE_NEAR_DUP_THRESHOLD = 0.95
+
+
+def image_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    codec=None,
+    threshold: float = IMAGE_NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Image near-duplicate pairs: decoded features -> the SAME banded-LSH
+    + exact-cosine-verify core as emb_near_dup_pairs
+    (similarity.banded_near_dup_pairs). Identical blobs decode to
+    identical features (cos 1.0) and are always found; with a real codec
+    (codec=pil_decode) perceptually-near images land within the
+    threshold. Pytest pins planted-duplicate recall == 1.0 and exact
+    agreement with a numpy brute-force replay
+    (tests/test_multimodal.py). Not registered for the driver gate: the
+    8-dim md5 stub features have low angular contrast, so the banded
+    candidate set at test scale is output-bound (see emb_near_dup_pairs'
+    round-4 analysis) — the linear-cost registered bridge surface is
+    multimodal_feature_topk."""
+    from minibatch_spark.operators.similarity import banded_near_dup_pairs
+
+    feats = decoded_feature_vectors(spark, sf_dir, codec=codec)
+    return banded_near_dup_pairs(
+        feats, dim=FEATURE_DIM, threshold=threshold,
+        stage_name="imgdup-sig",
+    )

@@ -200,12 +200,13 @@ def signature_udf(dim: int, n_planes: int = N_PLANES):
     return sig
 
 
-def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
-    """DuckDB expression reproducing signature_udf from raw md5 arithmetic."""
+def _bucket_sql_expr(n_planes: int = N_PLANES, col: str = "embedding") -> str:
+    """DuckDB expression reproducing signature_udf from raw md5 arithmetic
+    over any array column ``col`` (embeddings or decoded image features)."""
     projs = []
     for p in range(n_planes):
-        proj = f"""CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-          d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * {QUANT}.0) AS BIGINT)
+        proj = f"""CAST(list_sum(list_transform(generate_series(1, len({col})),
+          d -> CAST(floor(CAST({col}[d] AS DOUBLE) * {QUANT}.0) AS BIGINT)
                * (CASE WHEN CAST(('0x' || substring(md5('{p}:' || CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
                   THEN 1 ELSE -1 END))) AS BIGINT)"""
         projs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
@@ -298,10 +299,34 @@ def emb_near_dup_pairs(
     head = e.select("embedding").first()
     if head is None:  # empty corpus -> empty result, typed (no crash)
         return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
-    sig = signature_udf(len(head.embedding))
+    return banded_near_dup_pairs(
+        e.select("vec_id", as_double("embedding").alias("v")),
+        dim=len(head.embedding),
+        n_bands=n_bands,
+        band_bits=band_bits,
+        threshold=threshold,
+        stage_name="neardup-sig",
+    )
+
+
+def banded_near_dup_pairs(
+    vec_df: DataFrame,
+    dim: int,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = BAND_BITS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    stage_name: str = "neardup-sig",
+) -> DataFrame:
+    """The banded-LSH + exact-cosine-verify core shared by
+    ``emb_near_dup_pairs`` (embedding corpora) and the multimodal bridge
+    (decoded image features): ``vec_df`` is (vec_id, v array<double>);
+    returns (vec_a, vec_b, cos_sim) with cos_sim >= threshold. Same plan
+    shape as documented on emb_near_dup_pairs — per-(band, key) candidate
+    join, verify joins on vec_id, no cross join anywhere."""
+    sig = signature_udf(dim)
+    spark = vec_df.sparkSession
     v_df = stage(
-        e.select("vec_id", as_double("embedding").alias("v"), sig("embedding").alias("bucket")),
-        "neardup-sig",
+        vec_df.select("vec_id", "v", sig("v").alias("bucket")), stage_name
     )
     bands = v_df.select(
         "vec_id",
