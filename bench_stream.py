@@ -226,18 +226,38 @@ def main() -> None:
 
     shutil.rmtree(base, ignore_errors=True)
     total = round(sum(sc["wall_sec"] for sc in scenarios.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "stream_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "scenarios": scenarios,
-                "rows": N_ROWS,
-                "window_size": WINDOW,
-            }
+    out = {
+        "metric": "stream_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "scenarios": scenarios,
+        "rows": N_ROWS,
+        "window_size": WINDOW,
+    }
+    # TWS-vs-AIP bound, pinned (round-5 verdict #7): tools/profile_tws.py
+    # isolates the gap to the TWS framework data path itself — a NO-OP
+    # TWS processor (zero state ops, zero user logic) already runs ~30%
+    # slower than a no-op applyInPandasWithState (97k vs 126k rows/s at
+    # 1M rows), per-chunk protobuf framing this container pays in
+    # pure-python protobuf; RocksDB is NOT the cost (the provider
+    # measured FASTER than HDFS-backed on the same query), and larger
+    # Arrow chunks make both paths slower. So TWS buys timers/TTL, not
+    # throughput — applyInPandasWithState is the throughput default.
+    # The assertion keeps the bound honest: a pyspark upgrade that
+    # closes (or blows up) the gap shows up as a bench failure, not a
+    # silently stale docstring.
+    if "tws_count" in scenarios:
+        ratio = round(
+            scenarios["tws_count"]["wall_sec"]
+            / scenarios["stateful_count"]["wall_sec"],
+            2,
         )
-    )
+        out["tws_over_aip_wall_ratio"] = ratio
+        assert ratio < 3.0, (
+            f"TWS regressed to {ratio}x applyInPandasWithState wall "
+            "(historical bound ~1.3-2.2x; see tools/profile_tws.py)"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

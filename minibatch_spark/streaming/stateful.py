@@ -18,6 +18,19 @@ per-key, executor-local state store —
 Windows are emitted as ROWS (stream, window_id, n, data_json), which keeps
 the operator composable: downstream DataFrame ops, sinks, and the DuckDB
 harness all consume a flat schema instead of driver-side Window objects.
+
+Choosing between the two state APIs (profiled, tools/profile_tws.py at
+1M rows / 1 key): ``applyInPandasWithState`` is the THROUGHPUT default —
+a no-op transformWithStateInPandas processor (zero state ops) already
+runs ~30% slower than a no-op applyInPandasWithState (97k vs 126k
+rows/s), so the gap is the TWS framework data path (per-chunk protobuf
+round-trips to the state server; pure-python protobuf runtime here), not
+our processor code, not RocksDB (the RocksDB provider measured FASTER
+than the HDFS-backed default on the identical query: 8.5s vs 10.3s), and
+not Arrow chunking (20x larger chunks made both paths slower). Reach for
+``tws_*`` when you need what only it has: engine-closed event-time
+timers, per-state-variable TTL, and typed named state. The ratio is
+asserted in bench_stream.py so an upstream shift re-surfaces.
 """
 
 from __future__ import annotations
