@@ -274,3 +274,83 @@ def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CAP_PER_SOURCE)
         .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+SPLIT_BUCKETS = 10_000
+SPLIT_TRAIN, SPLIT_VAL = 9000, 9500  # 90 / 5 / 5
+
+
+def _split_oracle() -> str:
+    from minibatch_spark.operators.dedup import _CLUSTER_ORACLE
+
+    return f"""
+    WITH reps AS (SELECT * FROM ({_CLUSTER_ORACLE}) cc),
+    assigned AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(r.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+    ), bucketed AS (
+      SELECT *,
+        CAST(('0x' || substring(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {SPLIT_BUCKETS} AS b
+      FROM assigned
+    )
+    SELECT CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                WHEN b < {SPLIT_VAL} THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT rep_id) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM bucketed GROUP BY 1
+    """
+
+
+@query("docs_train_test_split", oracle=_split_oracle())
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/validation/test split: the split decision is
+    hashed on the document's near-dup CLUSTER representative (connected
+    components over the verified n-gram-Jaccard pair graph,
+    dedup.dedup_cluster_reps), not on the document itself — so two
+    near-duplicate documents can NEVER straddle splits and leak training
+    text into eval. Docs outside the dup graph are their own singleton
+    cluster. Split is md5-hash-threshold (90/5/5), the same seedless
+    restart-reproducible draw as docs_sample_stratified: re-running the
+    pipeline (or adding new disjoint docs) never moves an existing doc's
+    split.
+
+    Scale shape: the expensive part is the pair graph + tiny CC loop
+    (see dedup_cluster_reps — edge-set-only, dup docs are a sliver of the
+    corpus); the split itself is a broadcast-sized left join (reps table
+    = docs WITH near-dups only) + per-row hash + one map-side-combined
+    agg. tests/test_curation.py pins zero straddling pairs end-to-end.
+
+    No reference analog (README.rst:315-322); this is the split step of
+    the published LLM-corpus pipelines (cluster-aware splitting per
+    Lee et al. 2022's leakage discussion)."""
+    from minibatch_spark.operators.dedup import dedup_cluster_reps
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    reps = dedup_cluster_reps(spark, sf_dir)
+    assigned = d.select("doc_id", "n_chars").join(
+        reps.select("doc_id", "rep_id"), "doc_id", "left"
+    )
+    assigned = assigned.withColumn(
+        "rep_id", F.coalesce(F.col("rep_id"), F.col("doc_id"))
+    )
+    b = F.pmod(
+        h64(F.concat(F.lit("split:"), F.col("rep_id").cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "validation")
+        .otherwise("test")
+    )
+    return (
+        assigned.select(split.alias("split"), "rep_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rep_id").alias("n_clusters"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )

@@ -40,6 +40,7 @@ def query(name: str, oracle: Optional[str] = None):
 def _load_all() -> None:
     # Import for registration side effects.
     from minibatch_spark.operators import (  # noqa: F401
+        analytics,
         curation,
         dedup,
         incremental,

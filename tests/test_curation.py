@@ -1,0 +1,67 @@
+"""docs_train_test_split: the LEAKAGE invariant — no verified near-dup
+pair may straddle two splits — plus split-fraction sanity. The value-level
+cross-engine check is the registry-wide oracle match in test_oracle.py."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def _split_col(rep_id_col):
+    from minibatch_spark.operators.curation import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+    from minibatch_spark.operators.dedup import h64
+
+    b = F.pmod(
+        h64(F.concat(F.lit("split:"), rep_id_col.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "validation")
+        .otherwise("test")
+    )
+
+
+def test_no_near_dup_pair_straddles_splits(spark):
+    """End-to-end leakage check: reassemble each doc's split assignment
+    exactly the way the operator does, then verify every verified
+    near-dup pair lands in ONE split."""
+    from minibatch_spark.operators.dedup import (
+        dedup_cluster_reps,
+        dedup_ngram_jaccard,
+    )
+
+    reps = dedup_cluster_reps(spark, SF_CORRECT).select("doc_id", "rep_id")
+    assign = reps.select(
+        "doc_id", _split_col(F.col("rep_id")).alias("split")
+    )
+    pairs = dedup_ngram_jaccard(spark, SF_CORRECT).select("doc_a", "doc_b")
+    straddle = (
+        pairs.join(assign.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(assign.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(F.col("split_a") != F.col("split"))
+    )
+    assert pairs.count() > 0  # non-vacuous: the dup graph exists at sf0.01
+    assert straddle.count() == 0
+
+
+def test_split_fractions_and_totals(spark):
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.registry import all_queries
+
+    rows = {
+        r["split"]: r
+        for r in all_queries()["docs_train_test_split"](spark, SF_CORRECT).collect()
+    }
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    # 90/5/5 hash split: train within a loose band (binomial noise at 500 docs)
+    frac = rows["train"]["n_docs"] / n_docs
+    assert 0.8 < frac < 0.97, frac
+    for r in rows.values():
+        assert r["n_clusters"] <= r["n_docs"]
