@@ -32,7 +32,8 @@ FUNNEL_DEADLINE_DAYS = 7  # purchase/click must land within this many days of th
     oracle=f"""
     WITH v AS (
       SELECT user_id, MIN(ts) AS t_view
-      FROM events WHERE event_type = 'view' GROUP BY user_id
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id
     ), c AS (
       SELECT e.user_id, MIN(e.ts) AS t_click
       FROM events e JOIN v USING (user_id)
@@ -68,8 +69,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no second Exchange; the naive 3-way self-join form
     shuffles the full event log three times). The oracle states the same
     stages as join-CTEs — the declarative spec — while this plan is what
-    it compiles to at 100 TB."""
-    e = spread(load_table(spark, sf_dir, "events"))
+    it compiles to at 100 TB.
+
+    NULL contract: rows with NULL user_id are EXCLUDED on both engines —
+    Spark's window partitionBy would happily treat NULL as one real user
+    (every null row in one partition) while SQL join/group semantics
+    drop it, and an unattributable event cannot convert anyway (same
+    masking convention as the as-of join's NULL-partition fix)."""
+    e = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id")
     ts, et = F.col("ts"), F.col("event_type")
     e = e.withColumn("t_view", F.min(F.when(et == "view", ts)).over(w))
@@ -125,7 +134,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firstseen AS (
       SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_day
-      FROM events GROUP BY user_id
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ), act AS (
       SELECT DISTINCT e.user_id, f.cohort_day,
              (CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_day) // 7
@@ -148,8 +157,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cohort count are map-side-combined aggs on the already
     hash-partitioned data. The events table is scanned ONCE — the
     join-on-firstseen form the oracle states would scan and shuffle it
-    twice."""
-    e = spread(load_table(spark, sf_dir, "events"))
+    twice.
+
+    NULL contract: NULL user_id rows are excluded on both engines (same
+    rationale as events_funnel — a window partition of NULLs is not a
+    cohort)."""
+    e = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id")
     e = e.select(
         "user_id",
