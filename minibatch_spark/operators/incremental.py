@@ -105,6 +105,31 @@ class MinhashDedupStore:
         #                  result lineage
         os.makedirs(store_dir, exist_ok=True)
 
+    def rollback(self, batch_tag: str) -> None:
+        """Delete a tagged batch's store appends (no-op when absent).
+
+        The replay story for STREAMING ingestion: foreachBatch re-runs a
+        micro-batch after a crash with the SAME batch_id, but
+        ``process_batch`` is not idempotent against its own prior appends
+        (a replayed doc would find its own hash in the store and mark
+        itself a duplicate). Tagged appends land in
+        ``{exact,sigs}/tag=<batch_tag>/`` subdirectories, so a replay
+        first rolls the tag back — restoring the exact pre-batch store —
+        then reprocesses: the reference's exactly-once sink recipe
+        (streaming/sinks.py IdempotentParquetSink) applied to engine
+        STATE instead of output."""
+        import shutil
+
+        for root in (self.exact_dir, self.sigs_dir):
+            shutil.rmtree(os.path.join(root, f"tag={batch_tag}"), ignore_errors=True)
+
+    def _append_dir(self, root: str, batch_tag: "str | None") -> str:
+        if batch_tag is None:
+            return root
+        d = os.path.join(root, f"tag={batch_tag}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     def _read(self, path: str, schema: str) -> DataFrame:
         """SNAPSHOT read: pin the store's current parquet part files as an
         explicit file list instead of reading the directory.
@@ -120,8 +145,9 @@ class MinhashDedupStore:
         dedups against the store AS OF its start."""
         if os.path.isdir(path):
             files = sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
+                os.path.join(dirpath, f)
+                for dirpath, _dirs, fnames in os.walk(path)
+                for f in fnames
                 if f.endswith(".parquet")
             )
             if files:
@@ -134,10 +160,17 @@ class MinhashDedupStore:
     def sigs(self) -> DataFrame:
         return self._read(self.sigs_dir, _SIG_SCHEMA)
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def process_batch(
+        self, docs: DataFrame, batch_tag: "str | None" = None
+    ) -> DataFrame:
         """Deduplicate one shard: returns (doc_id, keep int) for every row
         of ``docs`` (columns doc_id, text) and appends the shard's new
         representatives' hashes + signatures to the store.
+
+        ``batch_tag``: when set, this shard's store appends land under
+        ``tag=<batch_tag>/`` so ``rollback(batch_tag)`` can undo them —
+        the exactly-once replay contract for streaming ingestion
+        (streaming/dedup_stream.py).
 
         keep = 0 iff the doc is (a) an exact duplicate of a lower-id doc
         (in store or shard), or (b) a shard representative whose signature
@@ -224,9 +257,11 @@ class MinhashDedupStore:
         # eager count) before the store grows, so their lineage can never
         # observe this batch's own appends.
         new_reps.select("text_hash", "doc_id").write.mode("append").parquet(
-            self.exact_dir
+            self._append_dir(self.exact_dir, batch_tag)
         )
-        sigs_new.write.mode("append").parquet(self.sigs_dir)
+        sigs_new.write.mode("append").parquet(
+            self._append_dir(self.sigs_dir, batch_tag)
+        )
         return result
 
 
