@@ -214,24 +214,38 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_select(src: str) -> str:
+    """``SELECT doc_id, sh FROM <src>`` — one row per distinct 3-gram
+    shingle, docs with < 3 tokens excluded. The tokens are materialized
+    ONCE in a subquery column: DuckDB, exactly like Spark, re-evaluates a
+    non-column expression referenced inside a list_transform lambda PER
+    ELEMENT — O(len²) work and memory per document, harmless on ≤96-word
+    test docs and fatal on a 100k-word one (83 GB RSS; found by the
+    round-5 skew sweep's giant-document corpus). Same trap, same fix as
+    the Spark side's shingles_of (stage tokens through a projection)."""
+    return f"""
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - 2, 0)),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM {src}) __tk
+      WHERE len(t) >= 3
+    """
+
+
 @query(
     "dedup_minhash_signatures",
     oracle="""
     WITH sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
-               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
-      FROM documents
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+      {SHINGLES}
     )
     SELECT doc_id,
       {MINS}
     FROM sh
     GROUP BY doc_id
     """.replace(
+        "{SHINGLES}", _shingle_select("documents")
+    ).replace(
         "{MINS}",
         ",\n      ".join(
             "MIN(CAST(('0x' || substring(md5('%d:' || sh), 1, 15)) AS BIGINT)) AS mh%d"
@@ -288,15 +302,6 @@ def fast_minhash_sig(hash_col: Column, n: int = N_MINHASH) -> Column:
     return F.array(*[F.array_min(F.transform(hash_col, _perm(i))) for i in range(n)])
 
 
-_SHINGLE_SQL = """
-      unnest(list_distinct(list_transform(
-        generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
-        i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-             regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-             regexp_split_to_array(trim(text), '\\s+')[i+2])))
-"""
-
-
 def _minhash_pairs_oracle() -> str:
     """DuckDB replay of the full pipeline: exact-dup collapse -> shingle
     md5-60bit hashes mod p -> 16 multiply-add permutations -> 4-band keys ->
@@ -320,9 +325,7 @@ def _minhash_pairs_oracle() -> str:
       SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
       FROM documents GROUP BY md5(text)
     ), sh AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh
-      FROM reps
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+      {_shingle_select("reps")}
     ), hs AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
@@ -440,15 +443,9 @@ HOT_SHINGLE_DF = 64  # document-frequency above which a shingle is "hot"
 
 # Shared by dedup_ngram_jaccard (the pair set itself) and
 # dedup_cluster_reps (connected components OVER that pair set).
-_NGRAM_PAIRS_SQL = """
+_NGRAM_PAIRS_SQL = f"""
     WITH sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
-               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
-      FROM documents
+      {_shingle_select("documents")}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (

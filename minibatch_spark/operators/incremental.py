@@ -42,7 +42,7 @@ from minibatch_spark.catalog import SCRATCH_DIR, load_table, spread, stage
 from minibatch_spark.operators.dedup import (
     _MINHASH_P,
     _PERM_PARAMS,
-    _SHINGLE_SQL,
+    _shingle_select,
     N_BANDS,
     N_MINHASH,
     fast_minhash_sig,
@@ -291,9 +291,7 @@ def _incremental_oracle() -> str:
     ), reps AS (
       SELECT doc_id, text FROM th WHERE doc_id = rep_id
     ), sh AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh
-      FROM reps
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+      {_shingle_select("reps")}
     ), hs AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h

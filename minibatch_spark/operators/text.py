@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minibatch_spark.catalog import load_table, spread
+from minibatch_spark.operators.dedup import (
+    _shingle_select as _dedup_shingle_select,
+)
 from minibatch_spark.operators.dedup import tokens
 from minibatch_spark.registry import query
 
@@ -454,19 +457,10 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline (same expressions as dedup._SHINGLE_SQL / dedup.h64) so the
 # decontamination join sees IDENTICAL keys — including identical hash
 # collisions — in both engines.
-_DECON_SH = """
+_DECON_SH = f"""
       SELECT doc_id,
-             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
-      FROM (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
-                 i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                      regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                      regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS s
-        FROM documents
-        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
-      )
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM ({_dedup_shingle_select("documents")}) __sh
 """
 
 

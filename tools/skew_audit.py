@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Skew-robustness audit: time EVERY registered query on the uniform
+corpus and on the same-size SKEWED variant (tools/gen_skewed.py — hot
+user/customer/supplier/part/source keys + one ~100k-word document) and
+report per-query wall ratios. Same-size data means a ratio far above 1 is
+a SKEW cost, not a data-volume cost.
+
+Flag bar: ratio > 2 (flagged), > 4 (hot). Per-key windowing over a hot
+key is inherently serial (exact per-user sessionization cannot split a
+user), so some cost is semantics, not plan defect — the audit makes each
+one visible so it is either mitigated or documented, never silent.
+
+Usage:
+    python tools/gen_skewed.py /root/testdata/sf0.1 /tmp/skewdata/sf0.1
+    python tools/skew_audit.py /root/testdata/sf0.1 /tmp/skewdata/sf0.1 \
+        > SKEW_AUDIT_r05.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scale_audit import time_all  # noqa: E402  (same timing harness)
+
+
+def main(a_dir: str, b_dir: str) -> None:
+    from minibatch_spark.registry import all_queries
+    from minibatch_spark.session import get_spark
+
+    spark = get_spark(app_name="skew-audit")
+    queries = all_queries()
+    a = time_all(spark, queries, a_dir)
+    b = time_all(spark, queries, b_dir)
+    rows = {}
+    for n in sorted(queries):
+        ratio = (
+            round(b[n] / a[n], 2) if a[n] and b[n] is not None else None
+        )
+        rows[n] = {"uniform_sec": a[n], "skewed_sec": b[n], "ratio": ratio}
+    flagged = [n for n, v in rows.items() if v["ratio"] and v["ratio"] > 2]
+    hot = [n for n, v in rows.items() if v["ratio"] and v["ratio"] > 4]
+    failed = [n for n, v in rows.items() if v["skewed_sec"] is None]
+    print(
+        json.dumps(
+            {
+                "uniform_dir": a_dir,
+                "skewed_dir": b_dir,
+                "skew": "events.user_id 50%->0, orders.o_custkey 20%->0, "
+                "lineitem part/supp 20%->0, documents.source 50%->src0, "
+                "doc 0 = 100k words",
+                "queries": rows,
+                "flagged_2x": flagged,
+                "hot_4x": hot,
+                "failed": failed,
+            },
+            allow_nan=False,
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    main(sys.argv[1], sys.argv[2])
