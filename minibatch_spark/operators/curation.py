@@ -354,3 +354,63 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+@query(
+    "docs_mix_report",
+    oracle="""
+    WITH sized AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM sized GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, tokens,
+           ROUND(CAST(tokens AS DOUBLE)
+                 / (SELECT SUM(tokens) FROM per), 6) AS token_share
+    FROM per
+    ORDER BY source, lang
+    """,
+)
+def docs_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: docs, tokens, and token SHARE per
+    (source, lang) cell — the realized data-mixture table every training
+    run records next to its mixture weights (and the input to choosing
+    them). Pairs with docs_token_budget_mix (which enforces a budget) by
+    measuring what the corpus actually contains.
+
+    Plan: ONE corpus scan computes per-row token counts (codegen split +
+    size, no HOF lambda); one map-side-combined shuffle to the tiny
+    (source, lang) grid; the grand total aggregates the GRID (not the
+    corpus) and joins back as a 1-row broadcast — so the second pass over
+    the data that a naive window-over-everything would take never
+    happens. At 100 TB the shuffle carries O(#sources x #langs x #tasks)
+    partial rows; the result is bounded by the grid size regardless of
+    corpus size.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "source", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    per = sized.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    total = per.agg(F.sum("tokens").alias("__total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("__total"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

@@ -716,3 +716,71 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("connected components did not converge in 25 rounds")
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep_id"))
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH reps AS (SELECT * FROM ({_CLUSTER_ORACLE}) cc),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_unique
+      FROM documents
+    ), assigned AS (
+      SELECT s.doc_id, s.n_unique, COALESCE(r.rep_id, s.doc_id) AS cluster_id
+      FROM scored s LEFT JOIN reps r ON s.doc_id = r.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_unique DESC, doc_id) AS rn
+      FROM assigned
+    )
+    SELECT doc_id, cluster_id, n_unique,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM ranked
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster collapse: the doc kept from each
+    near-dup cluster is the BEST one, not the lowest-id one. Clusters are
+    the connected components of the verified n-gram-Jaccard pair graph
+    (dedup_cluster_reps); docs outside the dup graph are singletons and
+    keep themselves. "Best" = most distinct tokens (the longest/richest
+    variant — the copy pipelines keep when one near-dup is a truncation
+    or boilerplate-wrapped version of another), ties to the lowest doc_id
+    so the choice is total and restart-stable.
+
+    Output is the full per-doc decision table (doc_id, cluster_id,
+    n_unique, kept 0/1) — the mask a curation pipeline joins back onto
+    the corpus.
+
+    Scale shape: the pair graph + CC loop run on the EDGE SET only (see
+    dedup_cluster_reps — dup docs are a sliver of the corpus at 100 TB);
+    the scoring pass is one corpus scan with per-row codegen; the
+    rep_id join is broadcast-sized (docs with near-dups only); the
+    argmax-per-cluster window shuffles on cluster_id where almost every
+    partition is a singleton — no skew, one exchange. The reference has
+    no dedup at all (README.rst:315-322 lists even groupby as future
+    work); this is the SemDeDup/Lee-et-al "keep one per cluster" step
+    with an explicit quality criterion.
+    """
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_unique"),
+    )
+    reps = dedup_cluster_reps(spark, sf_dir)
+    assigned = (
+        scored.join(reps.select("doc_id", "rep_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("rep_id", "doc_id"))
+        .drop("rep_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_unique"), F.asc("doc_id"))
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        "n_unique",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )

@@ -4,7 +4,7 @@ cross-engine check is the registry-wide oracle match in test_oracle.py."""
 
 import pyspark.sql.functions as F
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _split_col(rep_id_col):
@@ -65,3 +65,23 @@ def test_split_fractions_and_totals(spark):
     assert 0.8 < frac < 0.97, frac
     for r in rows.values():
         assert r["n_clusters"] <= r["n_docs"]
+
+
+def test_mix_report_shares_cover_grid_and_sum_to_one(spark):
+    """docs_mix_report covers every (source, lang) cell, its token counts
+    total the corpus, and the shares sum to ~1."""
+    import duckdb
+
+    from minibatch_spark.registry import all_queries
+
+    rows = all_queries()["docs_mix_report"](spark, SF_SMOKE).collect()
+    want_cells, want_tokens = duckdb.sql(
+        f"""SELECT COUNT(*), SUM(n) FROM (
+              SELECT source, lang,
+                     SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n
+              FROM read_parquet('{SF_SMOKE}/documents.parquet')
+              GROUP BY source, lang)"""
+    ).fetchone()
+    assert len(rows) == want_cells
+    assert sum(r.tokens for r in rows) == want_tokens
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4

@@ -226,3 +226,28 @@ def test_normalized_dedup_unicode_parity_spark_vs_duckdb(spark, tmp_path):
         str(sf),
         "dedup_normalized-unicode",
     )
+
+
+def test_keep_best_one_winner_per_cluster_with_max_quality(spark):
+    """dedup_keep_best covers every document, keeps exactly one doc per
+    cluster, and the kept doc is the argmax of (n_unique, -doc_id) within
+    its cluster; multi-doc clusters exist (the assertion is non-vacuous)."""
+    import duckdb
+
+    from minibatch_spark.registry import all_queries
+
+    rows = all_queries()["dedup_keep_best"](spark, SF_SMOKE).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n_docs  # full per-doc decision table
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # real clusters
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.kept == 1]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+        best = min(members, key=lambda m: (-m.n_unique, m.doc_id))
+        assert kept[0].doc_id == best.doc_id, f"cluster {cid}"

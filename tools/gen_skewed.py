@@ -45,7 +45,7 @@ def _remap(table: pa.Table, col: str, frac: float, hot, rng) -> pa.Table:
     return table.set_column(i, table.schema.field(i), pa.array(vals, table.schema.field(i).type))
 
 
-def gen(src: str, out: str) -> str:
+def gen(src: str, out: str, giant_words: int = GIANT_DOC_WORDS) -> str:
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
 
@@ -75,7 +75,7 @@ def gen(src: str, out: str) -> str:
     dc = _remap(dc, "source", HOT_SOURCE_FRAC, "src0", rng)
     texts = dc["text"].to_pylist()
     vocab = sorted({w for t in texts[:200] for w in t.split()})
-    giant = " ".join(np.array(vocab)[rng.integers(0, len(vocab), GIANT_DOC_WORDS)])
+    giant = " ".join(np.array(vocab)[rng.integers(0, len(vocab), giant_words)])
     texts[0] = giant
     n_chars = [len(t) for t in texts]
     ti = dc.schema.get_field_index("text")
