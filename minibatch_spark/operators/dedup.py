@@ -257,7 +257,15 @@ def _shingle_select(src: str) -> str:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 permutations over 3-gram shingles), one row per
     document, columns mh0..mh15. Fully deterministic and engine-independent
-    (md5-derived), so the oracle reproduces every signature value."""
+    (md5-derived), so the oracle reproduces every signature value.
+
+    Giant-row note (round-5 skew audit): a single ~100k-word document makes
+    the whole-corpus pass ~2.2x slower (0.58 -> 1.30 s at sf0.1) because one
+    row's shingle construction + hashing is inherently per-row work in the
+    task that holds it. Unlike winnow's positional grams (which chunk
+    exactly), the work here is O(len) per row — already optimal — and a
+    row is the unit of parallelism, so this is the serial-row floor, not a
+    plan defect; documented rather than "fixed"."""
     # the shared staged shingle table (one tokenize+shingle pass per
     # process); the 16 per-seed transforms read cheap attribute references
     sh_df = shingle_table(spark, sf_dir).select("doc_id", "sh")

@@ -211,31 +211,50 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 8  # char-gram length
 WINNOW_W = 4  # winnowing window (hashes per window)
+WINNOW_CHUNK = 4096  # fingerprint positions per exploded text chunk
 
 
 @query(
     "text_winnow_fingerprint",
+    # The oracle mirrors the engine's CHUNKED evaluation: substring(text, i, k)
+    # walks bytes to char offset i in DuckDB exactly as in the JVM, so the
+    # unchunked form is O(len²) per document too (a 100k-word doc took minutes
+    # per engine). Chunk-local substrings bound every walk at ~4 KB.
     oracle=f"""
-    WITH grams AS (
+    WITH docs AS (
+      SELECT doc_id, text,
+             length(text) - {WINNOW_K + WINNOW_W - 2} AS p
+      FROM documents
+      WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), chunks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (p - 1) // {WINNOW_CHUNK})) AS c
+      FROM docs
+    ), ctexts AS (
+      SELECT doc_id,
+             substring(text, c * {WINNOW_CHUNK} + 1,
+                       {WINNOW_CHUNK + WINNOW_K + WINNOW_W - 2}) AS ctext
+      FROM chunks
+    ), grams AS (
       SELECT doc_id,
              list_transform(
-               generate_series(1, greatest(length(text) - {WINNOW_K} + 1, 0)),
-               i -> CAST(('0x' || substring(md5(substring(text, i, {WINNOW_K})), 1, 15))
+               generate_series(1, greatest(length(ctext) - {WINNOW_K} + 1, 0)),
+               i -> CAST(('0x' || substring(md5(substring(ctext, i, {WINNOW_K})), 1, 15))
                          AS BIGINT)) AS hs
-      FROM documents
+      FROM ctexts
     ), fps AS (
       SELECT doc_id,
-             list_distinct(list_transform(
+             unnest(list_transform(
                generate_series(1, greatest(len(hs) - {WINNOW_W} + 1, 0)),
                j -> list_min(hs[j : j + {WINNOW_W} - 1]))) AS fp
       FROM grams
     )
     SELECT doc_id,
-           CAST(len(fp) AS INTEGER) AS n_fp,
-           list_min(fp) AS fp_min,
-           list_max(fp) AS fp_max
+           CAST(COUNT(DISTINCT fp) AS INTEGER) AS n_fp,
+           MIN(fp) AS fp_min,
+           MAX(fp) AS fp_max
     FROM fps
-    WHERE len(fp) > 0
+    GROUP BY doc_id
     """,
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,49 +264,105 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of length >= k + w - 1 produces a shared fingerprint — the plagiarism/
     near-dup detection primitive.
 
-    Plan shape (the round-2 rewrite): gram positions are EXPLODED TO ROWS
-    so the md5 runs inside whole-stage codegen — the prior array-HOF form
-    (`transform(sequence(...))`) evaluated one interpreted md5 per
-    character position (CodegenFallback, no CSE) and was ~100x slower.
-    The rolling minimum is a frame-spec window (`min OVER (PARTITION BY
-    doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`),
-    and because the output is summary stats the fingerprint SET is never
-    materialized: count(distinct)/min/max aggregate the window minima
-    directly. ONE shuffle total — (doc_id, pos, hash64) rows, ~20 bytes
-    each — and the doc_id hash-partitioning from the window exchange is
-    reused by the final aggregate (no second exchange). At 100 TB the
-    shuffle is O(total corpus chars) of fixed-width rows, embarrassingly
-    parallel in doc_id; the texts themselves never move past the explode
-    projection."""
+    Plan shape (round-2 rewrite + round-5 giant-row hardening): gram
+    positions are EXPLODED TO ROWS so the md5 runs inside whole-stage
+    codegen — the prior array-HOF form (`transform(sequence(...))`)
+    evaluated one interpreted md5 per character position (CodegenFallback,
+    no CSE) and was ~100x slower. The rolling minimum is a frame-spec
+    window partitioned by (doc_id, chunk); because the output is summary
+    stats the fingerprint SET is never materialized —
+    count(distinct)/min/max aggregate the window minima directly.
+
+    GIANT-ROW hardening (found by the round-5 skew audit): position
+    explode over the whole text is O(len²) PER DOCUMENT — ``substr(text,
+    i, k)`` walks the UTF8 bytes to char offset i on every call, so a
+    single ~700k-char document cost ~2.5e11 byte-steps in ONE task
+    (measured: the skewed sf0.1 corpus with one 100k-word doc ran 15+ min
+    where uniform takes 0.8 s). The text is therefore first exploded into
+    overlapping CHUNKS of WINNOW_CHUNK fingerprint positions (+k+w-2
+    chars of overlap so every gram window is complete inside its chunk),
+    the ~4 KB chunk rows are shuffled to (doc_id, chunk), and positions
+    explode within the chunk — bounding every substr walk at ~4 KB and
+    spreading a giant document across tasks. Each global position belongs
+    to exactly one chunk, so the fingerprint multiset — and the oracle —
+    are unchanged.
+
+    Shuffle accounting (the chunk exchange is a net WIN at every scale):
+    shuffling chunk rows costs ~1x corpus bytes, and because it already
+    clusters by (doc_id, chunk) the window adds NO exchange of the
+    exploded gram rows — which are ~30 bytes PER CHARACTER, i.e. the old
+    plan's window exchange moved ~30x corpus bytes. The repartition
+    carries an EXPLICIT partition count because AQE coalesces column-only
+    repartitions by shuffle SIZE, and this shuffle is small in bytes while
+    each row fans out ~4k md5 positions — coalescing serialized the hash
+    stage (see inline comment for the measured matrix). Measured at sf0.1
+    (min-of-3 collect): uniform 1.5 -> 1.4 s, skewed giant-doc corpus
+    7.4 -> 1.6 s (pre-chunking: 15+ min). The later count(distinct)
+    exchanges carry map-side-deduped (doc_id, fp) partials — each exchange
+    smaller than the last (plan-guarded:
+    test_plans.test_winnow_chunked_exchanges_codegen_md5)."""
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
+    K, W, C = WINNOW_K, WINNOW_W, WINNOW_CHUNK
     # docs with fewer than k+w-1 chars have no full winnowing window and
     # are excluded by the oracle's len(fp) > 0 filter — drop them up front
     # (also avoids Spark's descending sequence(1, 0) = [1, 0] footgun).
-    n_pos = (F.length("text") - F.lit(WINNOW_K - 1)).alias("np")
-    grams = (
-        d.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-        .select("doc_id", "text", n_pos)
+    # p = number of fingerprint positions (grams with a complete window)
+    p = (F.length("text") - F.lit(K + W - 2)).alias("p")
+    docs = d.filter(F.length("text") >= K + W - 1).select("doc_id", "text", p)
+    chunks = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("p") - 1) / C).cast("int"))
+            ).alias("c"),
+        )
         .select(
             "doc_id",
-            "np",
-            F.explode(F.sequence(F.lit(1), F.col("np"))).alias("i"),
-            "text",
+            "c",
+            F.substr(
+                "text", (F.col("c") * C + 1).cast("int"), F.lit(C + K + W - 2)
+            ).alias("ctext"),
+        )
+        # Shuffle the ~4 KB CHUNK rows, not the ~30-bytes-per-CHARACTER
+        # position rows: this one exchange (a) satisfies the rolling-min
+        # window's (doc_id, c) clustering so the window adds NO exchange of
+        # the 30x-larger exploded gram rows, and (b) spreads a giant
+        # document's chunks across tasks BEFORE the md5 work happens (the
+        # fused explode otherwise hashes all 700k positions of a 100k-word
+        # doc in the one task that read it — the 6.4x skew-audit residual).
+        # The partition COUNT must be explicit: this shuffle is bytes-SMALL
+        # but each row fans out ~4k positions of md5 work downstream, and
+        # AQE coalesces a column-only repartition by byte size — measured
+        # 4.3 s uniform / 10.9 s skewed with REPARTITION_BY_COL vs
+        # 1.4 s / 1.6 s with the explicit count (fused, no repartition:
+        # 1.5 s / 7.4 s).
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id", "c"
         )
     )
+    npl = (F.length("ctext") - F.lit(K - 1)).alias("npl")
+    grams = chunks.select("doc_id", "c", "ctext", npl).select(
+        "doc_id",
+        "c",
+        "npl",
+        F.explode(F.sequence(F.lit(1), F.col("npl"))).alias("j"),
+        "ctext",
+    )
     h = F.conv(
-        F.substring(F.md5(F.substr("text", F.col("i"), F.lit(WINNOW_K))), 1, 15), 16, 10
+        F.substring(F.md5(F.substr("ctext", F.col("j"), F.lit(K))), 1, 15), 16, 10
     ).cast("bigint")
     w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+        Window.partitionBy("doc_id", "c")
+        .orderBy("j")
+        .rowsBetween(Window.currentRow, W - 1)
     )
     wins = (
-        grams.select("doc_id", "np", "i", h.alias("h"))
-        .select("doc_id", "np", "i", F.min("h").over(w).alias("fp"))
-        .filter(F.col("i") <= F.col("np") - (WINNOW_W - 1))
+        grams.select("doc_id", "c", "npl", "j", h.alias("h"))
+        .select("doc_id", "npl", "j", F.min("h").over(w).alias("fp"))
+        .filter(F.col("j") <= F.col("npl") - (W - 1))
     )
     return wins.groupBy("doc_id").agg(
         F.countDistinct("fp").cast("int").alias("n_fp"),

@@ -584,17 +584,22 @@ def test_repeated_spans_partial_agg_take_ordered(spark):
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
 
 
-def test_winnow_single_exchange_codegen_md5(spark):
+def test_winnow_chunked_exchanges_codegen_md5(spark):
     """The winnowing fingerprint runs md5 inside whole-stage codegen on
     EXPLODED gram rows — never as an interpreted array-HOF over
-    transform(sequence(...)) (the round-2 108 s/sf0.01 regression) — and
-    the window's doc_id exchange is the ONLY shuffle: the final aggregate
-    reuses the same hash partitioning."""
+    transform(sequence(...)) (the round-2 108 s/sf0.01 regression). Since
+    the round-5 giant-row hardening the rolling-min window partitions by
+    (doc_id, chunk) so one enormous document parallelizes across tasks and
+    every substr stays a bounded (~4 KB) walk; the per-doc countDistinct
+    then adds its two-phase exchanges — exactly THREE shuffles, each of
+    fixed-width rows and each SMALLER than the last ((doc_id, fp) partials
+    are map-side deduped before the wire), and still no interpreted HOF
+    anywhere."""
     from minibatch_spark.plans import explain_str
 
     df = _q("text_winnow_fingerprint")(spark, SF_SMOKE)
     plan = explain_str(df, mode="simple")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
     # md5 must sit on exploded rows (codegen), not inside a lambda HOF
     assert "lambdafunction(md5" not in plan and "transform(sequence" not in plan
 
