@@ -251,3 +251,60 @@ def test_keep_best_one_winner_per_cluster_with_max_quality(spark):
         assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
         best = min(members, key=lambda m: (-m.n_unique, m.doc_id))
         assert kept[0].doc_id == best.doc_id, f"cluster {cid}"
+
+
+def test_winnow_chunk_boundary_matches_python_oracle(spark, tmp_path):
+    """Chunked winnowing is EXACT at the chunk seams: documents sized
+    exactly at / one off / just past the WINNOW_CHUNK position boundary
+    (plus a multi-chunk one) reproduce a pure-Python winnow bit-for-bit.
+    The corpus parity suites cover typical lengths; this pins the
+    overlap arithmetic where an off-by-one would actually live."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minibatch_spark.operators.text import (
+        WINNOW_CHUNK as C,
+        WINNOW_K as K,
+        WINNOW_W as W,
+    )
+    from minibatch_spark.registry import all_queries
+
+    rng = random.Random(13)
+    alphabet = "abcdefgh "  # repeats force real fingerprint collisions
+    docs = {}
+    for did, n_pos in enumerate([1, C - 1, C, C + 1, 2 * C, 2 * C + 7]):
+        n_chars = n_pos + K + W - 2
+        docs[did] = "".join(rng.choice(alphabet) for _ in range(n_chars))
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(docs),
+                "text": list(docs.values()),
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": [len(t) for t in docs.values()],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+
+    def py_winnow(t: str):
+        hs = [
+            int(hashlib.md5(t[i : i + K].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - K + 1)
+        ]
+        fps = {min(hs[j : j + W]) for j in range(len(hs) - W + 1)}
+        return len(fps), min(fps), max(fps)
+
+    got = {
+        r.doc_id: (r.n_fp, r.fp_min, r.fp_max)
+        for r in all_queries()["text_winnow_fingerprint"](spark, str(sf)).collect()
+    }
+    want = {did: py_winnow(t) for did, t in docs.items()}
+    assert got == want
