@@ -243,9 +243,13 @@ def main() -> None:
     # measured FASTER than HDFS-backed on the same query), and larger
     # Arrow chunks make both paths slower. So TWS buys timers/TTL, not
     # throughput — applyInPandasWithState is the throughput default.
-    # The assertion keeps the bound honest: a pyspark upgrade that
-    # closes (or blows up) the gap shows up as a bench failure, not a
-    # silently stale docstring.
+    # The regressed flag keeps the bound honest: a pyspark upgrade that
+    # closes (or blows up) the gap shows up in the artifact, not a
+    # silently stale docstring. The JSON is printed FIRST — wall-clock
+    # ratios of two streaming runs are variance-prone on a loaded host,
+    # and a noisy run must not cost the whole bench artifact — then a
+    # non-zero exit signals the regression to any caller that checks.
+    regressed = False
     if "tws_count" in scenarios:
         ratio = round(
             scenarios["tws_count"]["wall_sec"]
@@ -253,11 +257,17 @@ def main() -> None:
             2,
         )
         out["tws_over_aip_wall_ratio"] = ratio
-        assert ratio < 3.0, (
-            f"TWS regressed to {ratio}x applyInPandasWithState wall "
-            "(historical bound ~1.3-2.2x; see tools/profile_tws.py)"
-        )
+        regressed = ratio >= 3.0
+        out["tws_ratio_regressed"] = regressed
     print(json.dumps(out))
+    if regressed:
+        print(
+            f"WARN: TWS at {out['tws_over_aip_wall_ratio']}x "
+            "applyInPandasWithState wall (historical bound ~1.3-2.2x; "
+            "see tools/profile_tws.py)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

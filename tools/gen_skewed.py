@@ -37,12 +37,19 @@ GIANT_DOC_WORDS = 100_000
 
 
 def _remap(table: pa.Table, col: str, frac: float, hot, rng) -> pa.Table:
+    """Route `frac` of the rows to the hot key with pyarrow compute —
+    NULL-preserving: to_numpy on a nullable int column silently widens to
+    float+NaN (clobbering NULLs or failing the int64 cast), and skew
+    parity should compose with the NULL-key contract, not erase it."""
+    import pyarrow.compute as pc
+
     n = table.num_rows
-    mask = rng.random(n) < frac
-    vals = table[col].to_numpy(zero_copy_only=False).copy()
-    vals[mask] = hot
+    field = table.schema.field(col)
+    mask = pa.array(rng.random(n) < frac)
+    col_arr = table[col].combine_chunks() if table[col].num_chunks > 1 else table[col]
+    remapped = pc.if_else(mask, pa.scalar(hot, field.type), col_arr)
     i = table.schema.get_field_index(col)
-    return table.set_column(i, table.schema.field(i), pa.array(vals, table.schema.field(i).type))
+    return table.set_column(i, field, remapped)
 
 
 def gen(src: str, out: str, giant_words: int = GIANT_DOC_WORDS) -> str:
