@@ -289,6 +289,17 @@ def emb_near_dup_pairs(
     targeting low-cosine thresholds should pass wider nets explicitly,
     e.g. ``n_bands=16, band_bits=2``. Fully hash-checked at the default
     banding: the oracle replays banding AND verify.
+
+    SCALING LIMIT (measured, honest): pair ENUMERATION is only sub-
+    quadratic when the corpus is clustered enough for bands to prune. On
+    a near-isotropic corpus (this testdata: pairwise cosine
+    ~N(0, 1/sqrt(dim)), near-orthogonal vectors agree with each random
+    hyperplane w.p. 1/2) the 8x4 banding emits ~51% of ALL pairs as
+    candidates at ANY threshold — measured 0.513 of n(n-1)/2 at both
+    n=2000 and n=20000, the round-5 scale-audit 16x flag. That regime is
+    inherent to enumeration, not a plan defect; pipelines that need a
+    bounded answer on such corpora should use ``emb_near_dup_topk``
+    (cell-bounded k best neighbors per vector — linear by construction).
     """
     if n_bands * band_bits > N_PLANES:
         raise ValueError(
@@ -601,6 +612,34 @@ def _assign_cells(e_df: DataFrame, cents_df: DataFrame) -> DataFrame:
     )
 
 
+def _probe_cells(e_df: DataFrame, cents_df: DataFrame, nprobe: int) -> DataFrame:
+    """Each vector's ``nprobe`` nearest cells — the IVF multi-probe
+    assignment (vs _assign_cells' single home cell). Scoring is the same
+    broadcast pass; the top-nprobe pick is collect_list + array_sort +
+    slice on (d2, cid) structs, which partial-aggregates map-side (the
+    broadcast crossJoin co-locates all k scores of a vec_id in one
+    partition) — the exchange carries n bounded k-entry states. At
+    extreme n (k in the millions) probing goes hierarchical with the
+    assignment, per the emb_semantic_dedup docstring. Ties break
+    lexicographically on (d2, cid), matching the oracle's
+    ROW_NUMBER() ... ORDER BY d2, cid.
+
+    Returns (vec_id, cell, prb) with prb the 1-based probe rank — prb=1
+    IS the home cell, so callers needing both home and probe assignments
+    score the corpus ONCE."""
+    scored = e_df.crossJoin(F.broadcast(cents_df)).select(
+        "vec_id", "cid", F.round(_d2(F.col("ve"), F.col("cv")), 6).alias("d2")
+    )
+    probes = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("d2", "cid"))), 1, nprobe
+        ).alias("ps")
+    )
+    return probes.select("vec_id", F.posexplode("ps").alias("pos", "p")).select(
+        "vec_id", F.col("p.cid").alias("cell"), (F.col("pos") + 1).alias("prb")
+    )
+
+
 def _within_cell_dedup(cells: DataFrame, threshold: float) -> DataFrame:
     """The SemDeDup within-cell pass over a staged (vec_id, cell, ve)
     frame: self-join ON THE CELL ID ONLY (one shuffle, no cross-cell
@@ -632,13 +671,16 @@ _SEM_D2_SQL = """ROUND(list_sum(list_transform(generate_series(1, len(e.ve)),
            i -> (e.ve[i] - c.cv[i]) * (e.ve[i] - c.cv[i]))), 6)"""
 
 
-@query(
-    "emb_semantic_dedup",
-    oracle=f"""
-    WITH e AS (
+def _sem_cells_sql(cell_target: int = SEM_CELL_TARGET) -> str:
+    """The WITH-clause prefix replaying the corpus-scaled coarse-cell
+    pipeline (deterministic lowest-vec_id seed + one distributed Lloyd
+    refinement) up to ``cells (vec_id, cell, ve)`` — shared by the
+    emb_semantic_dedup and emb_near_dup_topk oracles so both hash-check
+    the ENTIRE pipeline including the clustering."""
+    return f"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
     ), kk AS (
-      SELECT CAST(ceil(COUNT(*) / {SEM_CELL_TARGET}.0) AS BIGINT) AS k FROM e
+      SELECT CAST(ceil(COUNT(*) / {cell_target}.0) AS BIGINT) AS k FROM e
     ), c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
              ve AS cv
@@ -665,7 +707,13 @@ _SEM_D2_SQL = """ROUND(list_sum(list_transform(generate_series(1, len(e.ve)),
     ), cells AS (
       SELECT vec_id, cid AS cell, ve FROM a1
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
-    ), drops AS (
+    )"""
+
+
+@query(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH {_sem_cells_sql()}, drops AS (
       SELECT DISTINCT b.vec_id
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 6) >= {SEM_DEDUP_THRESHOLD}
@@ -702,15 +750,35 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coarse cells, then sub-cells — two bounded broadcasts); documented,
     not needed at any bench scale. Not in the reference (no vector ops —
     SURVEY §2.12 north-star)."""
+    cells = _coarse_cells(spark, sf_dir, stage_prefix="semdedup")
+    if cells is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, cell int, keep int")
+    return _within_cell_dedup(cells, SEM_DEDUP_THRESHOLD)
+
+
+def _coarse_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_target: int = SEM_CELL_TARGET,
+    stage_prefix: str = "semdedup",
+) -> "tuple[DataFrame, DataFrame] | None":
+    """The corpus-scaled coarse quantizer shared by emb_semantic_dedup and
+    emb_near_dup_topk: k = ceil(n / cell_target) centroids built as a
+    ONE-STEP Lloyd refinement of the deterministic lowest-vec_id seed,
+    every stage engine-replayable (see emb_semantic_dedup's docstring;
+    the matching SQL is _sem_cells_sql). Returns (v_df, centroids) —
+    a STAGED (vec_id, ve) frame plus the refined (cid, cv) centroid
+    table — or None on an empty corpus."""
     import math
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     n = e.count()
-    if n == 0:  # empty corpus -> empty result, typed (no crash)
-        return spark.createDataFrame([], "vec_id long, cell int, keep int")
-    k = max(1, math.ceil(n / SEM_CELL_TARGET))
+    if n == 0:
+        return None
+    k = max(1, math.ceil(n / cell_target))
     v_df = stage(
-        e.select("vec_id", as_double("embedding").alias("ve")), "semdedup-vec"
+        e.select("vec_id", as_double("embedding").alias("ve")),
+        f"{stage_prefix}-vec",
     )
     from pyspark.sql import Window
 
@@ -737,10 +805,117 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cell").alias("cid"), "cv")
     )
-    cells = stage(
-        v_df.join(_assign_cells(v_df, c1), "vec_id"), "semdedup-cells"
+    return v_df, c1
+
+
+def _coarse_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_target: int = SEM_CELL_TARGET,
+    stage_prefix: str = "semdedup",
+) -> "DataFrame | None":
+    """_coarse_quantizer + home-cell assignment: a STAGED
+    (vec_id, ve, cell) frame, or None on an empty corpus."""
+    got = _coarse_quantizer(spark, sf_dir, cell_target, stage_prefix)
+    if got is None:
+        return None
+    v_df, c1 = got
+    return stage(
+        v_df.join(_assign_cells(v_df, c1), "vec_id"), f"{stage_prefix}-cells"
     )
-    return _within_cell_dedup(cells, SEM_DEDUP_THRESHOLD)
+
+
+NEAR_DUP_TOPK = 3  # neighbors kept per vector — the output bound
+NEAR_DUP_NPROBE = 2  # cells probed per anchor vector (boundary recall)
+
+
+@query(
+    "emb_near_dup_topk",
+    oracle=f"""
+    WITH {_sem_cells_sql()}, probes AS (
+      SELECT vec_id, cid AS cell, ve FROM a1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+              <= {NEAR_DUP_NPROBE}
+    ), scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.ve, b.ve), 6) AS cos_sim
+      FROM probes a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {NEAR_DUP_TOPK}
+    """,
+)
+def emb_near_dup_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEAR_DUP_TOPK,
+    nprobe: int = NEAR_DUP_NPROBE,
+) -> DataFrame:
+    """OUTPUT-BOUNDED near-duplicate detection: each vector's ``k`` most
+    similar neighbors within its coarse cell — the shape real pipelines
+    join back onto the corpus (per-doc nearest neighbors + a threshold
+    applied downstream), with output <= n x k rows BY CONSTRUCTION.
+
+    Why this exists next to emb_near_dup_pairs: pair ENUMERATION cannot
+    be sub-quadratic on a corpus whose candidate structure is quadratic —
+    and on a near-isotropic corpus (this testdata: pairwise cosine
+    ~N(0, 1/sqrt(dim))) banded LSH generates ~51% of ALL pairs as
+    candidates at ANY threshold, because near-orthogonal vectors agree
+    with each random hyperplane with probability 1/2 (measured: 1.03M of
+    2.0M pairs at n=2000, the SAME 0.51 fraction at n=20000 — the
+    round-5 scale-audit 16x). This operator replaces open-ended pair
+    enumeration with cell-bounded top-k: cells come from the corpus-
+    scaled coarse quantizer (k_cells = ceil(n / SEM_CELL_TARGET), the
+    emb_semantic_dedup pipeline — oracle-replayed end-to-end including
+    the clustering), so scoring work is O(n x nprobe x SEM_CELL_TARGET)
+    total at ANY corpus size and the per-vector ranking compiles to
+    WindowGroupLimit (each partition forwards at most k rows per vector).
+
+    Boundary recall comes from IVF-style MULTI-PROBE: each ANCHOR vector
+    probes its ``nprobe`` nearest cells while neighbors stay indexed by
+    their single home cell — a near-identical pair that straddles a cell
+    boundary is still found from whichever side probes the other's home
+    (single-probe measured 0.875 planted recall at cos 0.95; two-probe
+    >= 0.9 pinned in tests/test_similarity.py). A (anchor, neighbor) row
+    cannot duplicate: probes are distinct cells and the neighbor's home
+    is unique, so no DISTINCT pass is needed.
+
+    Scale shape: one broadcast assignment pass + one probe pass + one
+    join shuffled on cell id + a WindowGroupLimit — linear in n with a
+    bounded constant."""
+    from pyspark.sql import Window
+
+    got = _coarse_quantizer(spark, sf_dir, stage_prefix="neardup-topk")
+    if got is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, cos_sim double, rk long"
+        )
+    v_df, c1 = got
+    # one scoring pass yields BOTH assignments: prb=1 is the home cell
+    probes = stage(_probe_cells(v_df, c1, nprobe), "neardup-topk-probes")
+    a = probes.join(v_df, "vec_id").alias("a")
+    b = probes.filter(F.col("prb") == 1).join(v_df, "vec_id").alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("a.ve"), F.col("b.ve")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
 
 
 @query("emb_semantic_dedup_trained")  # no SQL oracle: seeded Lloyd k-means

@@ -639,3 +639,16 @@ def test_dedup_normalized_single_shuffle_pruned_scan(spark):
     rs = read_schema(df)
     assert "text" in rs and "doc_id" in rs
     assert "source" not in rs and "lang" not in rs
+
+
+def test_near_dup_topk_window_group_limit_no_cartesian(spark):
+    """emb_near_dup_topk: the per-vector rank compiles to WindowGroupLimit
+    (each partition forwards <= k rows per vector before the window's
+    exchange) and nothing in the plan is a cartesian product — candidates
+    come only from the cell-key equi-join. The centroid broadcast is the
+    single BroadcastNestedLoopJoin allowed (k-row centroid table)."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("emb_near_dup_topk")(spark, SF_SMOKE)
+    assert_in_plan(df, "WindowGroupLimit")
+    assert "CartesianProduct" not in explain_str(df)

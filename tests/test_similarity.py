@@ -171,6 +171,30 @@ def test_near_dup_recall_on_planted_pairs(spark, duck, tmp_path):
         assert recall >= 0.9, f"planted recall {recall} at cos {cos_target}"
 
 
+def test_near_dup_topk_recall_on_planted_pairs(spark, duck, tmp_path):
+    """The output-bounded variant must surface a genuinely near-identical
+    pair in each other's top-k: plant perturbed copies at cosine
+    0.95/0.99 and require that >= 0.9 of planted partners appear among
+    the base vector's k neighbors (cell co-location + within-cell rank).
+    Also pins the output bound itself: <= k rows per vector."""
+    import collections
+
+    from minibatch_spark.operators.similarity import NEAR_DUP_TOPK, emb_near_dup_topk
+
+    for cos_target, seed in ((0.95, 17), (0.99, 19)):
+        sf_dir, pairs = _planted_corpus(tmp_path, duck, cos_target, 40, seed)
+        rows = emb_near_dup_topk(spark, sf_dir).collect()
+        neighbors = collections.defaultdict(set)
+        per_vec = collections.Counter()
+        for r in rows:
+            neighbors[r.vec_id].add(r.neighbor_id)
+            per_vec[r.vec_id] += 1
+        assert max(per_vec.values()) <= NEAR_DUP_TOPK
+        hit = sum(1 for a, b in pairs if b in neighbors[a] or a in neighbors[b])
+        recall = hit / len(pairs)
+        assert recall >= 0.9, f"planted topk recall {recall} at cos {cos_target}"
+
+
 def test_trained_pq_ivf_recall_on_planted_pairs(spark, duck, tmp_path):
     """K-means-trained codebooks (the train=True production path next to
     the oracle's sampled codebook): recall@10 of the TRUE nearest

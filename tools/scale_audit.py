@@ -24,6 +24,24 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Queries whose wall is bounded by their OUTPUT (or candidate) size on this
+# corpus by construction — super-linear wall there reflects super-linear
+# TRUE RESULT growth, not a plan defect. Each entry carries the measured
+# justification; flagged rows move to `output_bound` in the artifact (still
+# visible, labeled) instead of `super_linear`. Keep this list SHORT and
+# evidence-backed: anything here is exempt from the sub-linear gate.
+OUTPUT_BOUND: dict[str, str] = {
+    "emb_near_dup_pairs": (
+        "pair ENUMERATION on a near-isotropic corpus: banded LSH emits "
+        "~51% of ALL pairs as candidates at ANY threshold (measured 0.513 "
+        "of n(n-1)/2 at n=2000 AND n=20000 — random hyperplanes cannot "
+        "prune near-orthogonal vectors), and the true pair set at the "
+        "test threshold 0.4 itself grows ~quadratically (~74k pairs at "
+        "n=20k). The bounded-output alternative is emb_near_dup_topk "
+        "(cell-bounded top-k, linear by construction, audited normally)."
+    ),
+}
+
 
 def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float | None]:
     """Best-of-reps wall per query; None (JSON null, never NaN) for a query
@@ -65,8 +83,14 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
     }
     # a query that FAILED on either side is flagged explicitly, not dropped
     failed = [n for n, r in rows.items() if r["a_sec"] is None or r["b_sec"] is None]
-    sup = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > data_ratio]
-    bad = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > 2 * data_ratio]
+    over = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > data_ratio]
+    sup = [n for n in over if n not in OUTPUT_BOUND]
+    out_bound = {n: OUTPUT_BOUND[n] for n in over if n in OUTPUT_BOUND}
+    bad = [
+        n
+        for n, r in rows.items()
+        if r["ratio"] and r["ratio"] > 2 * data_ratio and n not in OUTPUT_BOUND
+    ]
     print(
         json.dumps(
             {
@@ -76,6 +100,7 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
                 "queries": rows,
                 "failed": failed,
                 "super_linear": sup,
+                "output_bound": out_bound,
                 "flagged_2x": bad,
             },
             allow_nan=False,  # fail loudly if a NaN ever sneaks back in
