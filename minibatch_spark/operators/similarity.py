@@ -577,6 +577,9 @@ SEM_DEDUP_THRESHOLD = 0.3  # the synthetic corpus has no planted
 #                            percentile of its within-cell cosine
 #                            distribution so the drop set is non-vacuous
 #                            at test scale. Real corpora use ~0.95+.
+PQ_TRAIN_SAMPLE = 512  # codebook/quantizer training sample (driver-side
+#                        bound; defined up here because the trained-SemDeDup
+#                        oracle builder reads it at import time)
 SEM_CELL_TARGET = 50  # target vectors per cell: k = ceil(n / target), so
 #                       CELL COUNT SCALES WITH THE CORPUS and the per-cell
 #                       quadratic stays O(n * target) = linear total work.
@@ -918,31 +921,119 @@ def emb_near_dup_topk(
     )
 
 
-@query("emb_semantic_dedup_trained")  # no SQL oracle: seeded Lloyd k-means
-#   (kmeans_train) is iterative/numpy — the driver records the rows-only
-#   check; exactness is pinned by a bit-level numpy replay plus planted
-#   near-dup recall in tests/test_similarity.py, and the oracle-backed
-#   emb_semantic_dedup hash-checks the identical downstream pipeline.
+TRAIN_LLOYD_ITERS = 3  # fixed Lloyd refinements in the trained quantizer —
+#   fixed (not convergence-tested) so the whole training loop unrolls into
+#   a finite CTE chain the DuckDB oracle replays iteration by iteration
+
+
+def _sem_trained_oracle(
+    cell_target: int = SEM_CELL_TARGET,
+    threshold: float = SEM_DEDUP_THRESHOLD,
+    iters: int = TRAIN_LLOYD_ITERS,
+) -> str:
+    """DuckDB replay of the FULL trained-SemDeDup pipeline: bounded seeded
+    sample -> ``iters`` unrolled Lloyd iterations (assign sample, rounded
+    per-dim means, empty cell keeps its previous centroid) -> full-corpus
+    assignment -> within-cell prune. Every iteration is one
+    assignment+means CTE pair, so the oracle hash-checks the TRAINING,
+    not just the downstream prune — the recipe _pq_oracle() uses for the
+    sampled codebook, extended to the iterative trainer by fixing the
+    iteration count."""
+    it_ctes = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        it_ctes.append(f"""a{i} AS (
+      SELECT e.vec_id, c.cid, e.ve, {_SEM_D2_SQL} AS d2
+      FROM samp e CROSS JOIN {prev} c
+    ), s{i} AS (
+      SELECT vec_id, cid AS cell, ve FROM a{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), x{i} AS (
+      SELECT cell, unnest(generate_series(1, len(ve))) AS dim,
+             unnest(ve) AS val
+      FROM s{i}
+    ), m{i} AS (
+      SELECT cell AS cid, list(ROUND(avg_val, 6) ORDER BY dim) AS cv
+      FROM (SELECT cell, dim, SUM(val) / COUNT(*) AS avg_val
+            FROM x{i} GROUP BY cell, dim)
+      GROUP BY cell
+    ), c{i} AS (
+      SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
+    )""")
+        prev = f"c{i}"
+    chain = ", ".join(it_ctes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM e
+    ), kk AS (
+      SELECT CAST(ceil(n / {cell_target}.0) AS BIGINT) AS k FROM nn
+    ), ss AS (
+      SELECT LEAST(n, GREATEST({PQ_TRAIN_SAMPLE}, 4 * k)) AS s FROM nn, kk
+    ), samp AS (
+      SELECT vec_id, ve FROM e
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT s FROM ss)
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             ve AS cv
+      FROM samp
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+    ), {chain}, af AS (
+      SELECT e.vec_id, c.cid, e.ve, {_SEM_D2_SQL} AS d2
+      FROM e CROSS JOIN {prev} c
+    ), cells AS (
+      SELECT vec_id, cid AS cell, ve FROM af
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 6) >= {threshold}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+    """
+
+
+@query("emb_semantic_dedup_trained", oracle=_sem_trained_oracle())
 def emb_semantic_dedup_trained(
     spark: SparkSession,
     sf_dir: str,
     cell_target: int = SEM_CELL_TARGET,
     threshold: float = SEM_DEDUP_THRESHOLD,
+    iters: int = TRAIN_LLOYD_ITERS,
 ) -> DataFrame:
-    """``emb_semantic_dedup`` with FULLY-TRAINED k-means cells — the
-    production SemDeDup composition the round-4 audit asked for: k =
-    ceil(n / cell_target) scales with the corpus, centroids come from
-    ``kmeans_train`` on a bounded seeded sample (>= 4 rows per centroid,
-    capped like PQ_TRAIN_SAMPLE), assignment is one Arrow-batched matmul
-    pass (cells ride in the UDF closure), and the within-cell prune is
-    the same one-shuffle self-join as the oracle-backed variant.
+    """``emb_semantic_dedup`` with a FULLY-TRAINED coarse quantizer — and,
+    since round 6, fully DuckDB-oracle-backed: the trainer is a FIXED
+    number of distributed Lloyd iterations over a bounded seeded sample,
+    every step engine-replayable, so the oracle hash-checks sample
+    selection, all ``iters`` refinements, the full-corpus assignment AND
+    the prune (previously the one rows-only registry entry; the iterative
+    numpy ``kmeans_train`` stays as the driver-side trainer for the
+    PQ/IVF codebook paths, which sit behind their own recall pins).
+
+    Training contract (deterministic, cross-engine):
+    - sample = the min(n, max(PQ_TRAIN_SAMPLE, 4k)) lowest vec_ids
+      (>= 4 rows per centroid, capped — training cost independent of
+      corpus size);
+    - seed = the k lowest-vec_id sample vectors (k = ceil(n/cell_target),
+      the corpus-scaled cell count);
+    - each iteration: assign the sample by ROUND(d2, 6) with argmin ties
+      to the lowest cid (sequential-order d2 sums, bit-identical
+      cross-engine), recompute per-dim means rounded 6dp, and an EMPTIED
+      cell keeps its previous centroid (COALESCE — SQL-expressible, vs
+      kmeans_train's farthest-point reseed);
+    - centroids are materialized to the driver between iterations (k x dim
+      doubles — the same bounded codebook state as ann_ivf_topk_trained),
+      keeping each iteration's plan shallow.
 
     Why this closes the scale flag: nothing here trusts a caller-supplied
     cell column — the operator itself enforces cells ~ cell_target
     vectors at ANY corpus size, bounding the per-cell quadratic to
-    O(n x cell_target) total. Driver-side state is the k x dim codebook
-    (same bound as ann_ivf_topk_trained); at extreme n train/assign go
-    hierarchical, per the emb_semantic_dedup docstring."""
+    O(n x cell_target) total; at extreme n train/assign go hierarchical,
+    per the emb_semantic_dedup docstring."""
     import math
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
@@ -951,25 +1042,52 @@ def emb_semantic_dedup_trained(
         return spark.createDataFrame([], "vec_id long, cell int, keep int")
     k = max(1, math.ceil(n / cell_target))
     sample_n = min(n, max(PQ_TRAIN_SAMPLE, 4 * k))
-    sample_rows = (
-        e.orderBy("vec_id").select("embedding").limit(sample_n).collect()
+    v_df = stage(
+        e.select("vec_id", as_double("embedding").alias("ve")), "semtrained-vec"
     )
-    S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
-    cents = kmeans_train(S, min(k, len(S)))
+    samp = stage(v_df.orderBy("vec_id").limit(sample_n), "semtrained-samp")
+    from pyspark.sql import Window
 
-    @pandas_udf("int")
-    def cell_of(emb: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d2.argmin(1).astype("int32"))
-
+    cent_schema = "cid int, cv array<double>"
+    c = (
+        samp.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cid",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+        .select("cid", F.col("ve").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = samp.join(_assign_cells(samp, c), "vec_id")
+        means = (
+            assigned.select("cell", F.posexplode("ve").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+        )
+        merged = (
+            c.alias("p")
+            .join(means.alias("m"), F.col("p.cid") == F.col("m.cid"), "left")
+            .select(
+                F.col("p.cid").alias("cid"),
+                F.coalesce(F.col("m.cv"), F.col("p.cv")).alias("cv"),
+            )
+        )
+        # materialize the k x dim centroids on the driver: bounded state,
+        # shallow next-iteration plan, exact double bits preserved
+        c = spark.createDataFrame(
+            [(r.cid, list(r.cv)) for r in merged.collect()], cent_schema
+        )
     cells = stage(
-        e.select(
-            "vec_id",
-            as_double("embedding").alias("ve"),
-            cell_of("embedding").alias("cell"),
-        ),
-        "semdedup-trained-cells",
+        v_df.join(_assign_cells(v_df, c), "vec_id"), "semtrained-cells"
     )
     return _within_cell_dedup(cells, threshold)
 
@@ -1098,7 +1216,6 @@ def _pq_rank(e: DataFrame, cb_sub: np.ndarray, q_np: np.ndarray,
 # Trained codebooks (k-means) for PQ and IVF
 # ---------------------------------------------------------------------------
 
-PQ_TRAIN_SAMPLE = 512  # codebook training sample (driver-side bound)
 IVF_TRAIN_CELLS = 8
 
 

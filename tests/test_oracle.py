@@ -82,13 +82,14 @@ def test_entry(spark):
     # every query key has either an oracle or is explicitly rows-only
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
-    # the STATUS.md claim, pinned: every registered query carries an
-    # oracle EXCEPT the explicit allowlist below (genuinely non-SQL ops —
-    # iterative k-means training; each pinned instead by a bit-level
-    # numpy-replay test), and the registry hasn't shrunk. Adding a
-    # rows-only query without listing it here goes red.
-    ROWS_ONLY = {"emb_semantic_dedup_trained"}
-    assert set(q) - set(o) == ROWS_ONLY and len(q) >= 107
+    # the STATUS.md claim, pinned: since round 6 EVERY registered query
+    # carries a DuckDB oracle (the last rows-only entry,
+    # emb_semantic_dedup_trained, became replayable when its trainer was
+    # fixed-iteration-unrolled into SQL). Adding a rows-only query goes
+    # red here; if one is ever genuinely necessary, allowlist it with a
+    # written justification.
+    ROWS_ONLY: set = set()
+    assert set(q) - set(o) == ROWS_ONLY and len(q) >= 120
 
 
 def test_q1_extraction_paths_agree_on_real_data(spark):
