@@ -21,24 +21,46 @@ Store layout (``store_dir/``):
   ``dedup_incremental_minhash`` oracle, whose SQL is a SINGLE-PASS
   whole-corpus query).
 
+- ``bands/`` — (doc_id, band_key): the LSH band table of every stored
+  signature, PERSISTED at append time (round 6) instead of re-derived
+  from ``sigs/`` on every batch — at a 100 TB store the per-batch md5
+  re-derivation over the whole standing store was the dominant O(|store|)
+  cost of each shard. ``compact_bands()`` periodically rewrites the
+  accumulated band files into a table BUCKETED by band_key
+  (catalog.write_bucketed), so a large (non-broadcastable) shard's
+  candidate join is executor-local on the store side: the bucketed scan
+  satisfies the join's hash distribution and the plan shows NO Exchange
+  above the store scan (pinned by
+  tests/test_incremental.py::test_compacted_store_join_no_store_exchange).
+
 Scale stance (100 TB corpus, GB-scale shards): the new shard's band table
-is broadcast against the store's — the store is never shuffled; at real
-scale the store's band table is written bucketed by band_key
-(catalog.write_bucketed) so the candidate join is executor-local and a
-shard touches only matching buckets. Store reads are signature-width
-(doc_id + 16 longs), never document text: the corpus is NOT rescanned.
-Appends are parquet file appends (no rewrite).
+is broadcast against the store's — the store is never shuffled and never
+re-derived; at real scale the compacted store is bucketed by band_key so
+even a non-broadcastable shard joins executor-local, touching only
+matching buckets. Store reads are signature-width (doc_id + 16 longs),
+never document text: the corpus is NOT rescanned. Appends are parquet
+file appends (no rewrite); compaction is an offline maintenance op (run
+it BETWEEN batches — never concurrently with an in-flight streaming
+batch, whose rollback deletes raw tag dirs).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import SCRATCH_DIR, load_table, spread, stage
+from minibatch_spark.catalog import (
+    SCRATCH_DIR,
+    load_table,
+    spread,
+    stage,
+    write_bucketed,
+)
 from minibatch_spark.operators.dedup import (
     _MINHASH_P,
     _PERM_PARAMS,
@@ -56,31 +78,36 @@ MINHASH_EST_THRESHOLD = 0.5  # signature-agreement cut, same as dedup_minhash_pa
 
 _EXACT_SCHEMA = "text_hash string, doc_id long"
 _SIG_SCHEMA = "doc_id long, sig array<long>"
+_BAND_SCHEMA = "doc_id long, band_key string"
 
 
 def band_keys(sig_df: DataFrame) -> DataFrame:
-    """(doc_id, sig) -> one row per LSH band: (doc_id, band_id, band_key),
-    band_key = md5 of the band's 4 signature components — identical
-    derivation to dedup_minhash_pairs, so store and batch agree forever."""
+    """(doc_id, sig) -> one row per LSH band: (doc_id, band_key) with
+    band_key = md5('<band_id>:' || the band's 4 signature components) —
+    the same match semantics as dedup_minhash_pairs' (band_id, band_key)
+    pair (two docs band-match iff the SAME band's components all agree;
+    the band id is folded INTO the hash instead of carried beside it).
+    One key column is what makes the bucketed store join single-key:
+    bucketing by band_key alone satisfies the join's full clustering
+    (spark.sql.requireAllClusterKeysForCoPartition), so the compacted
+    store side needs no Exchange."""
     return sig_df.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[F.element_at("sig", b * 4 + j + 1) for j in range(4)],
-                            )
-                        ).alias("band_key"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(f"{b}:"),
+                            *[F.element_at("sig", b * 4 + j + 1) for j in range(4)],
+                        )
                     )
                     for b in range(N_BANDS)
                 ]
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+        ).alias("band_key"),
+    )
 
 
 class MinhashDedupStore:
@@ -99,6 +126,8 @@ class MinhashDedupStore:
         self.store_dir = store_dir
         self.exact_dir = os.path.join(store_dir, "exact")
         self.sigs_dir = os.path.join(store_dir, "sigs")
+        self.bands_dir = os.path.join(store_dir, "bands")
+        self._manifest_path = os.path.join(store_dir, "bands_manifest.json")
         self._batch = 0  # distinct stage names per batch: durable-tier
         #                  stage() reclaims same-name predecessors eagerly,
         #                  which would break an earlier batch's still-live
@@ -113,14 +142,16 @@ class MinhashDedupStore:
         ``process_batch`` is not idempotent against its own prior appends
         (a replayed doc would find its own hash in the store and mark
         itself a duplicate). Tagged appends land in
-        ``{exact,sigs}/tag=<batch_tag>/`` subdirectories, so a replay
-        first rolls the tag back — restoring the exact pre-batch store —
-        then reprocesses: the reference's exactly-once sink recipe
+        ``{exact,sigs,bands}/tag=<batch_tag>/`` subdirectories, so a
+        replay first rolls the tag back — restoring the exact pre-batch
+        store — then reprocesses: the reference's exactly-once sink recipe
         (streaming/sinks.py IdempotentParquetSink) applied to engine
-        STATE instead of output."""
+        STATE instead of output. Compaction must not run between a
+        streaming batch's append and its checkpoint commit (module
+        docstring) — a rolled-back tag must still live in the raw dirs."""
         import shutil
 
-        for root in (self.exact_dir, self.sigs_dir):
+        for root in (self.exact_dir, self.sigs_dir, self.bands_dir):
             shutil.rmtree(os.path.join(root, f"tag={batch_tag}"), ignore_errors=True)
 
     def _append_dir(self, root: str, batch_tag: "str | None") -> str:
@@ -143,31 +174,106 @@ class MinhashDedupStore:
         cache eviction or executor loss reads exactly the snapshot files),
         which is also the semantics an at-scale store wants: a shard
         dedups against the store AS OF its start."""
+        files = self._files(path)
+        if files:
+            return self.spark.read.schema(schema).parquet(*files)
+        return self.spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _files(path: str) -> list[str]:
+        """Current data part-files under ``path``, pruning Spark staging /
+        hidden dirs IN PLACE: a crashed or in-flight append leaves
+        `_temporary/` part files that a blind recursive walk would pin
+        into later snapshots — flat (untagged) appends have no rollback,
+        so that poison would be permanent. Same rule as Spark's own file
+        index: anything starting with '_' or '.' is not data."""
+        files: list[str] = []
         if os.path.isdir(path):
-            files = []
             for dirpath, dirs, fnames in os.walk(path):
-                # prune Spark staging / hidden dirs IN PLACE: a crashed or
-                # in-flight append leaves `_temporary/` part files that a
-                # blind recursive walk would pin into later snapshots —
-                # flat (untagged) appends have no rollback, so that poison
-                # would be permanent. Same rule as Spark's own file index:
-                # anything starting with '_' or '.' is not data.
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 files.extend(
                     os.path.join(dirpath, f)
                     for f in fnames
                     if f.endswith(".parquet") and not f.startswith(("_", "."))
                 )
-            files.sort()
-            if files:
-                return self.spark.read.schema(schema).parquet(*files)
-        return self.spark.createDataFrame([], schema)
+        files.sort()
+        return files
 
     def exact(self) -> DataFrame:
         return self._read(self.exact_dir, _EXACT_SCHEMA)
 
     def sigs(self) -> DataFrame:
         return self._read(self.sigs_dir, _SIG_SCHEMA)
+
+    # --- the persisted band table (bucketed base + raw delta) ------------
+
+    def _manifest(self) -> "dict | None":
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return None
+
+    def _bands_table_name(self) -> str:
+        return "mbs_incdedup_bands_" + hashlib.md5(
+            self.store_dir.encode()
+        ).hexdigest()[:12]
+
+    def bands(self) -> DataFrame:
+        """The store's standing band table: the BUCKETED base written by
+        the last ``compact_bands()`` (no Exchange needed when joined on
+        band_key) unioned with raw per-batch band files appended since.
+        Before any compaction it is simply the raw files — persisted at
+        append time, so no per-batch re-derivation over the whole store
+        either way."""
+        man = self._manifest()
+        raw = self._files(self.bands_dir)
+        if man is not None:
+            covered = set(man["covered_files"])
+            delta_files = [f for f in raw if f not in covered]
+            base = self.spark.table(self._bands_table_name())
+            if delta_files:
+                delta = self.spark.read.schema(_BAND_SCHEMA).parquet(*delta_files)
+                return base.unionByName(delta)
+            return base
+        if raw:
+            return self.spark.read.schema(_BAND_SCHEMA).parquet(*raw)
+        return self.spark.createDataFrame([], _BAND_SCHEMA)
+
+    def compact_bands(self, n_buckets: int = 16) -> None:
+        """Maintenance op: rewrite the accumulated band table (previous
+        bucketed base + raw deltas) into a fresh table BUCKETED (and
+        per-bucket sorted) by band_key via catalog.write_bucketed. After
+        compaction the candidate join against a non-broadcastable shard
+        is executor-local on the store side — the bucketed scan's hash
+        distribution satisfies the single-key join, so the plan has no
+        Exchange above the store scan (plan-guarded). Each compaction
+        writes a NEW location (overwriting a table being read is
+        impossible in Spark) and then reclaims the previous one; run it
+        BETWEEN batches only (module docstring)."""
+        import shutil
+
+        man = self._manifest()
+        raw = self._files(self.bands_dir)
+        # input read by PATH, not table name: saveAsTable(overwrite) on a
+        # table its own input reads from is an AnalysisException; the
+        # previous base's files are not touched until after the swap
+        parts = []
+        if man is not None:
+            parts += self._files(man["location"])
+        parts += [f for f in raw if man is None or f not in set(man["covered_files"])]
+        if not parts:
+            return
+        df = self.spark.read.schema(_BAND_SCHEMA).parquet(*parts)
+        new_loc = os.path.join(
+            self.store_dir, f"bands_bucketed-{uuid.uuid4().hex[:8]}"
+        )
+        write_bucketed(df, self._bands_table_name(), "band_key", n_buckets, new_loc)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"location": new_loc, "covered_files": raw}, f)
+        os.replace(tmp, self._manifest_path)  # atomic manifest swap
+        if man is not None:
+            shutil.rmtree(man["location"], ignore_errors=True)
 
     def process_batch(
         self, docs: DataFrame, batch_tag: "str | None" = None
@@ -218,16 +324,17 @@ class MinhashDedupStore:
         )
 
         # candidates: shard bands (small, BROADCAST) vs store ∪ shard bands.
-        # The store side is never shuffled — at scale it is bucketed by
-        # band_key and the join is executor-local per bucket.
-        bands_new = band_keys(sigs_new)
-        all_bands = band_keys(self.sigs()).unionByName(bands_new)
+        # The store side is the PERSISTED band table (bucketed base +
+        # deltas — never re-derived, never shuffled); a non-broadcastable
+        # shard would instead shuffle only ITSELF to the store's bucket
+        # layout (see compact_bands / the no-store-exchange plan guard).
+        bands_new = stage(band_keys(sigs_new), f"incdedup-bands-{tag}")
+        all_bands = self.bands().unionByName(bands_new)
         cand = (
             all_bands.alias("a")
             .join(
                 F.broadcast(bands_new.alias("b")),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
+                (F.col("a.band_key") == F.col("b.band_key"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -271,6 +378,9 @@ class MinhashDedupStore:
         sigs_new.write.mode("append").parquet(
             self._append_dir(self.sigs_dir, batch_tag)
         )
+        bands_new.write.mode("append").parquet(
+            self._append_dir(self.bands_dir, batch_tag)
+        )
         return result
 
 
@@ -285,7 +395,8 @@ def _incremental_oracle() -> str:
     band_cases = "\n             ".join(
         "WHEN {b} THEN {k}".format(
             b=b,
-            k=" || ',' || ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4)),
+            k=f"'{b}:' || ',' || "
+            + " || ',' || ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4)),
         )
         for b in range(N_BANDS)
     )
@@ -310,7 +421,7 @@ def _incremental_oracle() -> str:
         {mins}
       FROM hs GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, b.band_id,
+      SELECT doc_id,
              md5(CASE b.band_id
              {band_cases}
              END) AS band_key
@@ -318,7 +429,7 @@ def _incremental_oracle() -> str:
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
+        ON a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ), mdrops AS (
       SELECT DISTINCT c.doc_b AS doc_id

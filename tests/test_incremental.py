@@ -115,3 +115,81 @@ def test_short_docs_only_exact_deduped(spark, tmp_path):
     got = {r.doc_id: r.keep for r in r2.collect()}
     assert got[3] == 0  # byte-exact dup across shards
     assert got[4] == 1  # whitespace variant: different bytes, no signature
+
+
+def test_compaction_interleaved_keeps_results_identical(spark, tmp_path):
+    """compact_bands between shards must not change any keep decision:
+    three shards with a compaction after shard 1 and another after shard
+    2 (exercising base+delta AND recompaction of an existing base) yield
+    the same keep set as one uncompacted single pass."""
+    from minibatch_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    single = _store(spark, tmp_path, "plain")
+    one = {r.doc_id: r.keep for r in single.process_batch(docs).collect()}
+
+    comp = _store(spark, tmp_path, "compacted")
+    parts = [
+        docs.filter(F.col("doc_id") % 500 < 167),
+        docs.filter((F.col("doc_id") % 500 >= 167) & (F.col("doc_id") % 500 < 334)),
+        docs.filter(F.col("doc_id") % 500 >= 334),
+    ]
+    got = {}
+    got.update({r.doc_id: r.keep for r in comp.process_batch(parts[0]).collect()})
+    comp.compact_bands(n_buckets=4)
+    got.update({r.doc_id: r.keep for r in comp.process_batch(parts[1]).collect()})
+    comp.compact_bands(n_buckets=4)  # recompaction: old base + new delta
+    got.update({r.doc_id: r.keep for r in comp.process_batch(parts[2]).collect()})
+    assert one == got
+
+
+def test_compacted_store_join_no_store_exchange(spark, tmp_path):
+    """The at-scale claim as a PLAN, not prose: after compact_bands the
+    store's band table is bucketed by band_key, so a candidate join
+    against a non-broadcastable shard shuffles ONLY the shard — the plan
+    shows exactly one Exchange (the shard's repartition to the bucket
+    layout) and none above the store scan, whose bucketed layout
+    satisfies the join's hash distribution."""
+    from minibatch_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = _store(spark, tmp_path, "bucketed")
+    store.process_batch(docs)
+    n_buckets = 4
+    store.compact_bands(n_buckets=n_buckets)
+
+    shard = _docs(
+        spark, [(9001, BASE), (9002, NEAR), (9003, OTHER)]
+    )
+    from minibatch_spark.operators.dedup import (
+        fast_minhash_sig,
+        shingle_hashes,
+        shingles_of,
+        tokens,
+    )
+    from minibatch_spark.operators.incremental import band_keys
+
+    sh = (
+        shard.select("doc_id", tokens("text").alias("tk"))
+        .select("doc_id", shingles_of(F.col("tk")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    shard_bands = band_keys(
+        sh.select("doc_id", shingle_hashes(F.col("sh")).alias("hs")).select(
+            "doc_id", fast_minhash_sig(F.col("hs")).alias("sig")
+        )
+    ).repartition(n_buckets, "band_key")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = store.bands().alias("a").join(
+            shard_bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
