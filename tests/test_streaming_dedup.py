@@ -118,3 +118,136 @@ def test_tagged_and_flat_appends_coexist(spark, tmp_path):
     assert store.exact().count() == 2
     r = store.process_batch(_docs(spark, [(3, BASE), (4, OTHER)]))
     assert {x.doc_id: x.keep for x in r.collect()} == {3: 0, 4: 0}
+
+
+def _shards_src(spark, base):
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    shard1 = [(1, BASE), (2, OTHER), (3, BASE)]
+    shard2 = [(10, BASE), (11, NEAR), (12, "tiny new doc here ok")]
+    _write_part(spark, shard1, os.path.join(src, "p1"), 1_000_000_000)
+    _write_part(spark, shard2, os.path.join(src, "p2"), 1_000_000_100)
+    return src, shard1, shard2
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+
+def _assert_recovered_exactly_once(spark, tmp_path, base, shard1, shard2):
+    """Post-recovery invariant shared by both crash-point tests: the sink
+    corpus AND the store state are bit-identical to a crash-free
+    single-pass run."""
+    from minibatch_spark.streaming.dedup_stream import read_kept
+
+    kept = {
+        (r.doc_id, r.text)
+        for r in read_kept(spark, os.path.join(base, "sink")).collect()
+    }
+    single = _store(spark, tmp_path, "single-pass-ref")
+    res = single.process_batch(_docs(spark, shard1 + shard2))
+    expect_ids = {r.doc_id for r in res.collect() if r.keep == 1}
+    by_id = dict(shard1 + shard2)
+    assert kept == {(i, by_id[i]) for i in expect_ids}
+    assert {i for i, _ in kept} == {1, 2, 12}
+
+    from minibatch_spark.operators.incremental import MinhashDedupStore
+
+    streamed_store = MinhashDedupStore(spark, os.path.join(base, "store"))
+    assert streamed_store.sigs().count() == single.sigs().count()
+    assert streamed_store.exact().count() == single.exact().count()
+    assert (
+        streamed_store.exact()
+        .exceptAll(single.exact())
+        .unionByName(single.exact().exceptAll(streamed_store.exact()))
+        .count()
+        == 0
+    )
+
+
+def test_crash_between_store_append_and_sink_write(spark, tmp_path, monkeypatch):
+    """Inject the exact failure the tag-rollback design claims to survive:
+    the micro-batch CRASHES after process_batch has appended to the store
+    but BEFORE the sink write. The replay must roll back the orphaned
+    store tag and reprocess — final corpus and store bit-identical to a
+    crash-free single pass (a naive replay would find the replayed docs'
+    own hashes in the store and drop everything as self-duplicates)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from minibatch_spark.operators.incremental import MinhashDedupStore
+    from minibatch_spark.streaming.dedup_stream import dedup_doc_stream
+
+    base = str(tmp_path)
+    src, shard1, shard2 = _shards_src(spark, base)
+    real = MinhashDedupStore.process_batch
+    calls = {"n": 0}
+
+    def crash_after_append(self, docs, batch_tag=None):
+        result = real(self, docs, batch_tag=batch_tag)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # store tag IS written at this point; the sink tag is not
+            raise RuntimeError("injected crash: store appended, sink unwritten")
+        return result
+
+    monkeypatch.setattr(MinhashDedupStore, "process_batch", crash_after_append)
+    q = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # the orphaned store tag from the crashed attempt is on disk
+    assert MinhashDedupStore(spark, os.path.join(base, "store")).sigs().count() > 0
+
+    monkeypatch.setattr(MinhashDedupStore, "process_batch", real)
+    q2 = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+    )
+    q2.awaitTermination()
+    _assert_recovered_exactly_once(spark, tmp_path, base, shard1, shard2)
+
+
+def test_crash_after_sink_write_before_commit(spark, tmp_path):
+    """The other crash window: sink tag written (with _SUCCESS) but the
+    checkpoint never commits — injected via the on_batch observer, which
+    runs after the sink write. The replayed batch must roll back its
+    store tag and OVERWRITE its sink tag idempotently; final corpus and
+    store bit-identical to a crash-free run."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from minibatch_spark.streaming.dedup_stream import dedup_doc_stream
+
+    base = str(tmp_path)
+    src, shard1, shard2 = _shards_src(spark, base)
+    calls = []
+
+    def crash_once(batch_id, n, k):
+        calls.append(batch_id)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash: sink written, commit pending")
+
+    q = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+        on_batch=crash_once,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # the crashed attempt's sink tag IS visible (committed parquet dir) —
+    # exactly the state the idempotent overwrite-by-tag replay targets
+    assert os.path.exists(os.path.join(base, "sink", "tag=batch-0", "_SUCCESS"))
+
+    q2 = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+    )
+    q2.awaitTermination()
+    _assert_recovered_exactly_once(spark, tmp_path, base, shard1, shard2)
