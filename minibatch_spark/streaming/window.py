@@ -675,3 +675,247 @@ class FixedTimeWindow(WindowEmitter):
             rest = [r for r in carry if self._bucket(r["created"]) > closed_hi]
             self._save_carry(rest, self.carry_meta)
             return emitted
+
+
+class SessionWindow(WindowEmitter):
+    """Gap-based event-time SESSION windows — a window is a run of rows
+    (optionally per payload key) whose successive event times are within
+    ``gap`` seconds; the session closes when the gap passes. ABSENT in the
+    reference (its only strategies are count/relaxed/fixed,
+    minibatch/window.py:229-327 — SURVEY §2.10 notes session windows as a
+    Spark-side addition); this emitter brings the shape to the reference's
+    record-shaped emit-fn protocol, complementing the aggregation-shaped
+    ``streaming/aggregate.py::session_frame`` (watermarked
+    ``F.session_window`` — the 100 TB path; this materializing emitter is
+    the reference-parity convenience, subject to ``max_collect_rows``).
+
+    ``key`` (optional): a payload field name; sessions then form per
+    distinct value of that field (the reference's payloads are JSON
+    dicts, so the key is extracted with json.loads — driver-side, like
+    every materializing emitter). Rows missing the field session under
+    key None.
+
+    Semantics:
+    - a session EMITS when a later row (same key) arrives more than
+      ``gap`` after the session's last row, when the final drain runs, or
+      when the wall-clock flusher sees the session idle > gap (continuous
+      mode — a quiet source must still close sessions, same rationale as
+      FixedTimeWindow's flusher);
+    - open sessions ride the carry file, so they survive restarts;
+    - emission order within a batch is deterministic: by (session start,
+      first seq) — split() stays a pure function of row order, keeping
+      window_key stable across micro-batch replays.
+    """
+
+    def __init__(self, *args, gap: float = 30.0, key: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.gap = float(gap)
+        self.key = key
+
+    def _key_of(self, r: dict):
+        if self.key is None:
+            return None
+        try:
+            return json.loads(r["data"]).get(self.key)
+        except (ValueError, TypeError):
+            return None
+
+    def _sessions(self, rows: list[dict]) -> list[list[dict]]:
+        """Partition key-ordered rows into gap-separated runs."""
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(self._key_of(r), []).append(r)
+        out = []
+        for _k, krows in by_key.items():
+            krows.sort(key=lambda r: (r["created"], r.get("seq") or 0))
+            run = [krows[0]]
+            for r in krows[1:]:
+                if (r["created"] - run[-1]["created"]).total_seconds() > self.gap:
+                    out.append(run)
+                    run = [r]
+                else:
+                    run.append(r)
+            out.append(run)
+        out.sort(key=lambda w: (w[0]["created"], w[0].get("seq") or 0))
+        return out
+
+    def split(self, rows, final):
+        if not rows:
+            return [], []
+        sessions = self._sessions(rows)
+        if final:
+            return sessions, []
+        closed, carry = [], []
+        # a session is closed iff a LATER same-key row proves the gap
+        # passed — i.e. it is not its key's newest session
+        newest_start = {}
+        for s_ in sessions:
+            k = self._key_of(s_[0])
+            newest_start[k] = s_[0]["created"]
+        for s_ in sessions:
+            k = self._key_of(s_[0])
+            if s_[0]["created"] < newest_start[k]:
+                closed.append(s_)
+            else:
+                carry.extend(s_)
+        return closed, carry
+
+    # -- wall-clock close of idle sessions (continuous mode) ---------------
+    def _start_flusher(self) -> None:
+        def loop():
+            while not self._stop_requested.wait(self.gap):
+                try:
+                    self.flush_idle()
+                except Exception as ex:  # keep the flusher alive
+                    self.emit_errors.append(ex)
+
+        t = threading.Thread(target=loop, daemon=True, name=f"flush-{self.name}")
+        self._flusher = t
+        t.start()
+
+    def flush_idle(self, now: Optional[datetime] = None) -> int:
+        """Emit every carried session idle for more than ``gap`` (by wall
+        clock). Returns the number of sessions emitted."""
+        now = now or utcnow()
+        with self._emit_lock:
+            carry, self.carry_meta = self._load_carry()
+            if not carry:
+                return 0
+            emitted = 0
+            rest: list[dict] = []
+            for s_ in self._sessions(carry):
+                last = s_[-1]["created"]
+                if last.tzinfo is not None:
+                    last = last.replace(tzinfo=None)
+                ref = now.replace(tzinfo=None) if now.tzinfo is not None else now
+                if (ref - last).total_seconds() > self.gap:
+                    self._dispatch_window(s_)
+                    emitted += 1
+                else:
+                    rest.extend(s_)
+            if emitted:
+                self._save_carry(rest, self.carry_meta)
+            return emitted
+
+
+class SlidingTimeWindow(WindowEmitter):
+    """Overlapping event-time windows: window ``i`` covers
+    ``[i*slide, i*slide + interval)`` seconds — each row belongs to
+    ``interval/slide`` windows. ABSENT in the reference (SURVEY §2.10);
+    the aggregation-shaped scale path is ``streaming/aggregate.py::
+    windowed_frame(interval, slide)`` (Spark's native sliding
+    ``F.window``); this emitter is the record-shaped reference-protocol
+    counterpart.
+
+    Exactly-once per window via the FixedTimeWindow recipe: the carry
+    meta's ``high_water`` is the newest emitted window index; a window
+    emits when event time passes its end (or final drain / wall-clock
+    flush), gaps emit EMPTY windows (emit_empty forced), and a row whose
+    LAST containing window was already emitted is late -> dropped and
+    counted."""
+
+    def __init__(
+        self, *args, interval: float = 1.0, slide: Optional[float] = None, **kwargs
+    ):
+        kwargs["emit_empty"] = True
+        super().__init__(*args, **kwargs)
+        self.interval = float(interval)
+        self.slide = float(slide) if slide else self.interval
+        if self.slide > self.interval:
+            raise ValueError(
+                f"slide ({self.slide}) must not exceed interval ({self.interval})"
+            )
+
+    def run(self, spark, **kwargs):
+        kwargs.setdefault("trigger_seconds", self.slide)
+        return super().run(spark, **kwargs)
+
+    def _last_win(self, dt: datetime) -> int:
+        """Index of the newest window containing ``dt`` (the row is late
+        once this window has been emitted)."""
+        import math
+
+        return math.floor(dt.timestamp() / self.slide)
+
+    def _first_win(self, dt: datetime) -> int:
+        import math
+
+        return math.floor((dt.timestamp() - self.interval) / self.slide) + 1
+
+    def _drop_late(self, rows: list[dict], hw: Optional[int]) -> list[dict]:
+        if hw is None:
+            return rows
+        live = [r for r in rows if self._last_win(r["created"]) > hw]
+        self.late_dropped += len(rows) - len(live)
+        return live
+
+    def _emit_range(self, rows: list[dict], lo: int, hi: int) -> list[list[dict]]:
+        wins = []
+        for i in range(lo, hi + 1):
+            start = i * self.slide
+            end = start + self.interval
+            wins.append(
+                [r for r in rows if start <= r["created"].timestamp() < end]
+            )
+        return wins
+
+    def split(self, rows, final):
+        hw = self.carry_meta.get("high_water")
+        rows = self._drop_late(rows, hw)
+        if not rows:
+            return [], []
+        import math
+
+        hi_t = max(r["created"] for r in rows).timestamp()
+        if final:
+            emit_hi = self._last_win(max(r["created"] for r in rows))
+        else:
+            # a window closes when OBSERVED event time passes its end
+            emit_hi = math.floor((hi_t - self.interval) / self.slide)
+        lo = hw + 1 if hw is not None else min(self._first_win(r["created"]) for r in rows)
+        if emit_hi < lo:
+            return [], rows
+        windows = self._emit_range(rows, lo, emit_hi)
+        self.carry_meta["high_water"] = emit_hi
+        carry = [] if final else [
+            r for r in rows if self._last_win(r["created"]) > emit_hi
+        ]
+        return windows, carry
+
+    # -- wall-clock flush (same contract as FixedTimeWindow) ---------------
+    def _start_flusher(self) -> None:
+        def loop():
+            while not self._stop_requested.wait(self.slide):
+                try:
+                    self.flush_closed()
+                except Exception as ex:  # keep the flusher alive
+                    self.emit_errors.append(ex)
+
+        t = threading.Thread(target=loop, daemon=True, name=f"flush-{self.name}")
+        self._flusher = t
+        t.start()
+
+    def flush_closed(self, now: Optional[datetime] = None) -> int:
+        import math
+
+        with self._emit_lock:
+            carry, self.carry_meta = self._load_carry()
+            hw = self.carry_meta.get("high_water")
+            now_ts = (now or utcnow()).timestamp()
+            closed_hi = math.floor((now_ts - self.interval) / self.slide)
+            if hw is not None:
+                lo = hw + 1
+            elif carry:
+                lo = min(self._first_win(r["created"]) for r in carry)
+            else:
+                lo = closed_hi
+            if closed_hi < lo:
+                return 0
+            emitted = 0
+            for w in self._emit_range(carry, lo, closed_hi):
+                self._dispatch_window(w)
+                emitted += 1
+            self.carry_meta["high_water"] = closed_hi
+            rest = [r for r in carry if self._last_win(r["created"]) > closed_hi]
+            self._save_carry(rest, self.carry_meta)
+            return emitted

@@ -735,3 +735,133 @@ def test_compact_during_inflight_reader_no_loss(spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+# --- session / sliding emitter dispatch (round 6: SURVEY §2.10 closure) ---
+
+
+def test_make_emitter_dispatches_session_and_sliding(tmp_path):
+    from minibatch_spark.streaming.window import SessionWindow, SlidingTimeWindow
+
+    base = str(tmp_path)
+    em = make_emitter("d1", session_gap=10, session_key="u", base_dir=base)
+    assert isinstance(em, SessionWindow)
+    assert em.gap == 10 and em.key == "u"
+    em = make_emitter("d2", interval=60, slide=30, base_dir=base)
+    assert isinstance(em, SlidingTimeWindow)
+    assert em.interval == 60 and em.slide == 30
+    # the reference's original dispatch is unchanged
+    assert isinstance(make_emitter("d3", interval=60, base_dir=base), RelaxedTimeWindow)
+    assert isinstance(
+        make_emitter("d4", interval=60, relaxed=False, base_dir=base), FixedTimeWindow
+    )
+    with pytest.raises(ValueError):
+        make_emitter("d5", interval=30, slide=60, base_dir=base)  # slide > interval
+
+
+def test_session_window_decorator_end_to_end(spark, tmp_path):
+    """@streaming(session_gap=...) delivers per-key gap-separated sessions:
+    user a's two bursts 100 s apart are two sessions; user b's lone row is
+    its own; emission ordered by session start."""
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="sess")
+    s.append({"u": "a", "i": 0}, created=t0)
+    s.append({"u": "a", "i": 1}, created=t0 + timedelta(seconds=5))
+    s.append({"u": "a", "i": 2}, created=t0 + timedelta(seconds=100))
+    s.append({"u": "b", "i": 3}, created=t0 + timedelta(seconds=2))
+    seen = []
+
+    @streaming(
+        "sess", session_gap=30, session_key="u", spark=spark,
+        available_now=True, base_dir=str(tmp_path),
+    )
+    def handler(window):
+        seen.append([d["i"] for d in window.data])
+
+    assert seen == [[0, 1], [3], [2]]
+
+
+def test_session_window_flush_idle_and_restart(spark, tmp_path):
+    """Open sessions ride the carry file across a restart, and
+    flush_idle closes a session once it has been quiet longer than the
+    gap — the continuous-mode path where no later row ever arrives."""
+    from minibatch_spark.streaming.window import SessionWindow
+
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="sess2")
+    s.append({"u": "a", "i": 0}, created=t0)
+    s.append({"u": "a", "i": 1}, created=t0 + timedelta(seconds=5))
+    seen = []
+    em = SessionWindow(
+        s, gap=30, key="u", name="sw",
+        emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+    )
+    # batch path (final=False): the lone session stays OPEN -> carried
+    em.run(spark, available_now=False, blocking=False)
+    em._query.processAllAvailable()
+    em.stop()
+    assert seen == []  # nothing closed yet
+
+    seen2 = []
+    em2 = SessionWindow(
+        s, gap=30, key="u", name="sw",  # same name -> same carry
+        emitfn=lambda w: seen2.append([d["i"] for d in w.data]),
+    )
+    # idle far beyond the gap by wall clock -> flusher closes it
+    n = em2.flush_idle(now=t0 + timedelta(seconds=1000))
+    assert n == 1 and seen2 == [[0, 1]]
+    # idempotent: the session's rows left the carry
+    assert em2.flush_idle(now=t0 + timedelta(seconds=2000)) == 0
+
+
+def test_sliding_window_decorator_end_to_end(spark, tmp_path):
+    """@streaming(interval=60, slide=30): every row appears in
+    interval/slide = 2 windows; gaps emit empty windows; windows arrive
+    in index order."""
+    t0 = datetime(2024, 1, 1)  # epoch multiple of 60 -> aligned buckets
+    s = _mk(tmp_path, name="slide")
+    s.append({"i": 0}, created=t0)
+    s.append({"i": 1}, created=t0 + timedelta(seconds=30))
+    s.append({"i": 2}, created=t0 + timedelta(seconds=65))
+    s.append({"i": 3}, created=t0 + timedelta(seconds=150))
+    seen = []
+
+    @streaming(
+        "slide", interval=60, slide=30, spark=spark,
+        available_now=True, base_dir=str(tmp_path),
+    )
+    def handler(window):
+        seen.append([d["i"] for d in window.data])
+
+    assert seen == [[0], [0, 1], [1, 2], [2], [], [3], [3]]
+
+
+def test_sliding_window_late_row_dropped(spark, tmp_path):
+    """A row whose LAST containing window was already emitted is late:
+    dropped and counted, never re-emitting a window (the FixedTimeWindow
+    exactly-once contract on the overlapping shape)."""
+    from minibatch_spark.streaming.window import SlidingTimeWindow
+
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="slide-late")
+    s.append({"i": 0}, created=t0)
+    s.append({"i": 1}, created=t0 + timedelta(seconds=200))
+    seen = []
+    em = SlidingTimeWindow(
+        s, interval=60, slide=30, name="sl",
+        emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+    )
+    em.run(spark, available_now=True)
+    n_emitted = len(em.emitted)
+    assert n_emitted > 0 and em.late_dropped == 0
+
+    # a straggler far behind the high water
+    s.append({"i": 9}, created=t0 + timedelta(seconds=10))
+    seen2 = []
+    em2 = SlidingTimeWindow(
+        s, interval=60, slide=30, name="sl",  # same carry/high-water
+        emitfn=lambda w: seen2.append([d["i"] for d in w.data]),
+    )
+    em2.run(spark, available_now=True)
+    assert em2.late_dropped == 1
+    assert [w for w in seen2 if 9 in w] == []
