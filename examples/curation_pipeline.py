@@ -37,6 +37,16 @@ def main() -> None:
     for r in sample.orderBy("source").collect()[:5]:
         print(f"  {r.source}: kept {r.n_kept}/{r.n_total} ({r.kept_frac})")
 
+    # the whole run as ONE composed, oracle-backed operator: quality gate
+    # -> keep-best near-dup collapse -> leakage-safe cluster-hashed split
+    # -> realized mixture report
+    print("curate_corpus — final mixture per (split, source):")
+    for r in q["curate_corpus"](spark, sf).collect():
+        print(
+            f"  {r.split:>10} {r.source}: {r.n_docs} docs, "
+            f"{r.tokens} tokens ({r.token_share:.1%})"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -414,3 +414,139 @@ def docs_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def _curate_oracle() -> str:
+    """The curate_corpus oracle COMPOSES the existing stage oracles: the
+    keep-best cluster collapse (dedup._KEEP_BEST_ORACLE, which itself
+    embeds the recursive-CTE connected components), the
+    docs_filter_pipeline quality/langid/canonical flags, the
+    cluster-hashed leakage-safe split of _split_oracle, and the
+    docs_mix_report share aggregation — one hash check over the whole
+    composition."""
+    from minibatch_spark.operators.dedup import _KEEP_BEST_ORACLE
+    from minibatch_spark.operators.text import _SW_SQL
+
+    return f"""
+    WITH kb AS (SELECT * FROM ({_KEEP_BEST_ORACLE}) t WHERE kept = 1),
+    toks AS (
+      SELECT doc_id, md5(text) AS th,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), fl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> x IN {_SW_SQL})) AS DOUBLE)
+               / len(t) AS swr,
+             len(t) AS n,
+             MIN(doc_id) OVER (PARTITION BY th) AS rep_id
+      FROM toks
+    ), ok AS (
+      SELECT doc_id, n FROM fl
+      WHERE n BETWEEN 5 AND 5000 AND swr BETWEEN 0.01 AND 0.6
+        AND swr >= 0.05 AND doc_id = rep_id
+    ), curated AS (
+      SELECT d.doc_id, d.source, CAST(ok.n AS BIGINT) AS n_tokens,
+             kb.cluster_id
+      FROM documents d
+      JOIN ok ON ok.doc_id = d.doc_id
+      JOIN kb ON kb.doc_id = d.doc_id
+    ), buck AS (
+      SELECT *,
+        CAST(('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {SPLIT_BUCKETS} AS b
+      FROM curated
+    ), per AS (
+      SELECT CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split,
+             source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM buck GROUP BY 1, 2
+    )
+    SELECT split, source, n_docs, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM per), 6)
+             AS token_share
+    FROM per
+    """
+
+
+@query("curate_corpus", oracle=_curate_oracle())
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus-curation run every LLM data team performs,
+    as ONE composed operator: raw shards -> quality/language gate
+    (docs_filter_pipeline) -> exact-dup canonicalization + quality-aware
+    near-dup cluster collapse (dedup_keep_best over the verified
+    n-gram-Jaccard pair graph's connected components) -> LEAKAGE-SAFE
+    train/validation/test assignment (split hashed on the near-dup
+    CLUSTER representative, so near-duplicates never straddle splits —
+    docs_train_test_split's contract) -> realized data-mixture report
+    per (split, source) with token shares (docs_mix_report's shape).
+
+    Output: (split, source, n_docs, tokens, token_share) — the table a
+    training run records next to its mixture weights; the per-doc mask
+    behind it is the conjunction quality_ok & is_en & is_canonical &
+    kept, each stage auditable through its own registered query.
+
+    Scale shape = the union of its parts, nothing new added: one corpus
+    scan fuses the quality flags and token counts (per-row codegen); the
+    exact-dedup window and the keep-best window are each one exchange;
+    the pair graph + CC loop run on the EDGE SET only; the split is a
+    per-row hash; the final aggregation shuffles to the tiny
+    (split, source) grid with the grand total joined back as a 1-row
+    broadcast. The oracle composes the stage oracles, so the hash check
+    covers the whole pipeline including the recursive-CTE closure.
+    No reference analog (README.rst:315-322)."""
+    from minibatch_spark.operators.dedup import dedup_keep_best
+    from minibatch_spark.operators.text import docs_filter_pipeline
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    flags = docs_filter_pipeline(spark, sf_dir)
+    best = dedup_keep_best(spark, sf_dir)
+    curated = (
+        d.select(
+            "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        .join(
+            flags.filter(
+                (F.col("quality_ok") == 1)
+                & (F.col("is_en") == 1)
+                & (F.col("is_canonical") == 1)
+            ).select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            best.filter(F.col("kept") == 1).select("doc_id", "cluster_id"), "doc_id"
+        )
+    )
+    b = F.pmod(
+        h64(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "validation")
+        .otherwise("test")
+    )
+    per = (
+        curated.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    total = per.agg(F.sum("tokens").alias("__total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("__total"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("split", "source")
+    )
