@@ -792,3 +792,117 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         (F.row_number().over(w) == 1).cast("int").alias("kept"),
     )
+
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+      {_shingle_select("documents")}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n, 6) AS contain_a,
+           ROUND(CAST(n_common AS DOUBLE) / sb.n, 6) AS contain_b,
+           ROUND(CAST(n_common AS DOUBLE) /
+                 (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 5 >= sa.n * 4 OR n_common * 5 >= sb.n * 4
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    C(A→B) = |A∩B| / |A| >= 0.8 in EITHER direction — the doc-inside-doc
+    shape Jaccard misses entirely (a clean article quoted whole inside a
+    boilerplate-wrapped page has C(article→page) ≈ 1 but Jaccard ≈
+    |article|/|page|, far below any Jaccard bar; same shape as benchmark
+    text embedded in a crawl page, which makes this the pairwise
+    companion to text_decontaminate's reference-set overlap).
+
+    EXACT via the asymmetric prefix filter: a qualifying pair shares
+    >= ceil(0.8|X|) shingles for X the contained side, so by pigeonhole
+    one shared shingle lies among X's |X| - ceil(0.8|X|) + 1 globally
+    smallest (df-ascending, rarest-first — the dedup_ngram_jaccard
+    order); candidates are X.prefix ⋈ FULL posting list, both
+    orientations in one join (either doc may be the contained one), with
+    the one-sided size filter |Y| >= 0.8|X| (|X∩Y| <= |Y|). Verify is
+    the exact array_intersect on the staged hash sets; thresholds are
+    integer math (5i >= 4n), so no float-edge divergence cross-engine.
+
+    Scale: the contained side exposes only its ~0.2|X| rarest prefix
+    shingles to the index join — the same hot-shingle discipline as the
+    Jaccard operator; the probe side is the full posting list (the
+    asymmetric price: a doc whose PREFIX contains a df-D shingle meets
+    all D posting rows — df-ascending prefixes make that rare, and the
+    one-sided size filter prunes the survivors before the verify
+    shuffle). Oracle = the naive all-pairs SQL over raw strings."""
+    from pyspark.sql import Window
+
+    sh_arr = shingle_table(spark, sf_dir).select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        "n",
+    )
+    posting = sh_arr.select("doc_id", "n", F.explode("sh").alias("sh1"))
+    ranked = posting.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh1"))
+    )
+    # prefix length n - ceil(0.8n) + 1 in integer math (see ngram_jaccard)
+    prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+    w = Window.partitionBy("doc_id").orderBy("df", "sh1")
+    prefix = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "sh1", "n")
+    )
+    x, y = prefix.alias("x"), posting.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.sh1") == F.col("y.sh1"))
+            & (F.col("x.doc_id") != F.col("y.doc_id"))
+            # |Y| >= 0.8|X| when X is the contained side (|X∩Y| <= |Y|)
+            & (F.col("y.n") * 5 >= F.col("x.n") * 4),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("i", inter)
+        .filter(
+            (F.col("i") * 5 >= F.col("n_a") * 4)
+            | (F.col("i") * 5 >= F.col("n_b") * 4)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i").cast("double") / F.col("n_a"), 6).alias("contain_a"),
+            F.round(F.col("i").cast("double") / F.col("n_b"), 6).alias("contain_b"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

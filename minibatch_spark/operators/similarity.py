@@ -1348,3 +1348,89 @@ def ann_ivf_topk_trained(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+MRL_DIM = 16  # Matryoshka head width (of the 64-dim corpus)
+
+
+@query(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST({MRL_DIM} AS INTEGER) AS mrl_dim,
+           ROUND(sqrt(list_sum(list_transform(e[1:{MRL_DIM}], x -> x * x))), 6)
+             AS head_norm,
+           ROUND(sqrt(list_sum(list_transform(e[1:{MRL_DIM}], x -> x * x)))
+                 / sqrt(list_sum(list_transform(e, x -> x * x))), 6)
+             AS norm_frac
+    FROM v
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL-style) truncation diagnostics: per-vector L2 norm
+    of the first MRL_DIM dims and its fraction of the full norm — the
+    feasibility check before serving truncated embeddings (Kusupati et
+    al. 2022: nested representations concentrate information in the
+    prefix; a low norm_frac means THIS model's embeddings are not
+    front-loaded and truncation would destroy ranking). Pure per-row
+    slice + sequential-order sums (bit-identical cross-engine), no
+    shuffle — a 4x (here) memory/bandwidth cut for the coarse pass of a
+    two-stage retrieval cascade, next to emb_quantize_int8's 4x int8
+    cut. See ann_topk_truncated for the cascade's coarse ranking."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    full = as_double("embedding")
+    head = F.slice(full, 1, MRL_DIM)
+    return e.select(
+        "vec_id",
+        "label",
+        F.lit(MRL_DIM).alias("mrl_dim"),
+        F.round(l2norm(head), 6).alias("head_norm"),
+        F.round(l2norm(head) / l2norm(full), 6).alias("norm_frac"),
+    )
+
+
+@query(
+    "ann_topk_truncated",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             (CAST(embedding AS DOUBLE[]))[1:{MRL_DIM}] AS he
+      FROM embeddings
+    ), q AS (
+      SELECT he AS qh FROM v ORDER BY vec_id LIMIT 1
+    )
+    SELECT v.vec_id, v.label,
+           ROUND(list_cosine_similarity(v.he, q.qh), 6) AS cos_sim
+    FROM v, q
+    WHERE v.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ORDER BY cos_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension cosine top-10 — the COARSE stage of a
+    Matryoshka two-stage cascade: rank on the first MRL_DIM dims (4x
+    less data movement per vector), then a full-dim rerank of the short
+    candidate list downstream (compose with ann_topk_bruteforce /
+    ann_topk_batch on the survivors). Same shuffle-free
+    scan + TakeOrderedAndProject plan as the full-dim baseline; the
+    scan's per-row work and the broadcast query literal shrink by
+    dim/MRL_DIM. Overlap with the full-dim top-k is pinned in
+    tests/test_similarity.py — the empirical recall figure truncation
+    buys on this corpus."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
+    qh = F.array(*[F.lit(float(x)) for x in qrow.embedding[:MRL_DIM]])
+    he = F.slice(as_double("embedding"), 1, MRL_DIM)
+    sim = F.round(cosine(he, qh), 6)
+    return (
+        e.filter(F.col("vec_id") != qrow.vec_id)
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1152,3 +1152,76 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("boiler_frac"),
         F.when(frac <= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
+
+
+CHUNK_TOKENS = 64  # tokens per RAG/context chunk
+CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 16 tokens)
+
+
+@query(
+    "docs_chunk_for_rag",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(floor((len(t) - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS i
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, len(t) - i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_tok,
+           md5(array_to_string(
+             t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+             ' ')) AS chunk_hash
+    FROM idx
+    """,
+)
+def docs_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING-WINDOW document chunking — the retrieval/context-prep
+    step every RAG and long-context pipeline runs before embedding:
+    chunk i covers tokens [i*stride+1, i*stride+CHUNK_TOKENS] (64-token
+    windows, 16-token overlap so no boundary sentence is ever split away
+    from both neighbors); the last chunk may be short. Complements
+    docs_pack_sequences (which packs WITHOUT overlap for training) —
+    this is the retrieval-side shape.
+
+    Output is (doc_id, chunk_id, start_tok, n_tok, chunk_hash) — the
+    chunk table a pipeline joins to an embedding pass; the md5 digest
+    stands in for the chunk text (narrow rows; the text is
+    reconstructable from (doc_id, start_tok, n_tok)).
+
+    Scale shape: one corpus scan; the explode fans each doc into
+    ~n_tok/stride rows whose per-row work (slice + md5) is bounded by
+    CHUNK_TOKENS — per-row codegen, no shuffle at all (the output is a
+    pure flatMap of the scan; partitioning is inherited). A giant
+    document amplifies row count, not per-row cost — the winnow
+    giant-row lesson applied at design time."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    idx = staged.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("t") - 1) / CHUNK_STRIDE).cast("int"),
+            )
+        ).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE + 1
+    return idx.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("t") - F.col("i") * CHUNK_STRIDE
+        ).cast("long").alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("t", start.cast("int"), CHUNK_TOKENS), " ")
+        ).alias("chunk_hash"),
+    )

@@ -85,3 +85,34 @@ def test_mix_report_shares_cover_grid_and_sum_to_one(spark):
     assert len(rows) == want_cells
     assert sum(r.tokens for r in rows) == want_tokens
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+
+
+def test_chunk_for_rag_covers_every_token_with_overlap(spark):
+    """Chunk-table invariants on the real corpus: chunk starts are
+    exactly stride apart from 1; consecutive chunks overlap by
+    CHUNK_TOKENS - CHUNK_STRIDE (except a short tail); the union of
+    [start_tok, start_tok + n_tok) covers [1, n_tokens] with no gap; and
+    the last chunk reaches the final token, so no text is lost."""
+    from minibatch_spark.operators.text import CHUNK_STRIDE, CHUNK_TOKENS
+    from minibatch_spark.registry import all_queries
+
+    q = all_queries()
+    chunks = {}
+    for r in q["docs_chunk_for_rag"](spark, SF_SMOKE).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.n_tok))
+    n_tokens = {
+        r.doc_id: r.n_tokens for r in q["text_token_stats"](spark, SF_SMOKE).collect()
+    }
+    assert chunks and set(chunks) == set(n_tokens)
+    for doc_id, cs in chunks.items():
+        cs.sort()
+        n = n_tokens[doc_id]
+        for i, (cid, start, n_tok) in enumerate(cs):
+            assert cid == i and start == i * CHUNK_STRIDE + 1
+            assert 1 <= n_tok <= CHUNK_TOKENS
+            assert start + n_tok - 1 <= n
+        # no gap between consecutive chunks; full coverage to the end
+        for (c0, s0, l0), (_c1, s1, _l1) in zip(cs, cs[1:]):
+            assert s1 <= s0 + l0  # overlap or adjacency, never a gap
+        last_cid, last_start, last_len = cs[-1]
+        assert last_start + last_len - 1 == n  # final token reached

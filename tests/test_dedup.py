@@ -308,3 +308,71 @@ def test_winnow_chunk_boundary_matches_python_oracle(spark, tmp_path):
     }
     want = {did: py_winnow(t) for did, t in docs.items()}
     assert got == want
+
+
+def _write_docs(tmp_path, name, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / name
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    return str(sf)
+
+
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark, tmp_path):
+    """The asymmetric contract: a short doc quoted whole inside a much
+    larger one has containment ~1 but Jaccard far below the 0.8 bar —
+    dedup_containment_pairs must find the pair, dedup_ngram_jaccard must
+    not (that asymmetry is the operator's reason to exist)."""
+    from minibatch_spark.registry import all_queries
+
+    inner = " ".join(f"w{i}" for i in range(20))
+    wrapper = inner + " " + " ".join(f"junk{i} filler{i} pad{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(25))
+    sf = _write_docs(tmp_path, "contain", [(0, inner), (1, wrapper), (2, other)])
+
+    pairs = {
+        (r.doc_a, r.doc_b): (r.contain_a, r.contain_b, r.jaccard)
+        for r in all_queries()["dedup_containment_pairs"](spark, sf).collect()
+    }
+    assert (0, 1) in pairs
+    ca, cb, jac = pairs[(0, 1)]
+    assert ca == 1.0  # every shingle of the inner doc is in the wrapper
+    assert cb < 0.8 and jac < 0.8  # ...while Jaccard/reverse containment miss it
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    jac_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert (0, 1) not in jac_pairs
+
+
+def test_containment_superset_of_jaccard_pairs(spark):
+    """Containment >= J always (|∩|/|A| >= |∩|/|A∪B|), so on the real
+    corpus every Jaccard-0.8 pair must re-appear in the containment pair
+    set with consistent jaccard values."""
+    from minibatch_spark.registry import all_queries
+
+    cont = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["dedup_containment_pairs"](spark, SF_SMOKE).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    for pair, j in jac.items():
+        assert pair in cont and cont[pair] == j

@@ -326,3 +326,46 @@ def test_semantic_dedup_cell_count_scales_with_corpus():
     assert k(5000) == 100
     assert k(5_000_000) == 100_000
     assert k(1) == 1 and k(0) == 1
+
+
+def test_truncated_topk_matches_numpy_and_norms_predict_overlap(spark, duck):
+    """ann_topk_truncated must equal an independent numpy 16-dim ranking
+    (same tie rule) — and emb_matryoshka_truncate's norm_frac must tell
+    the truth about WHY coarse/full overlap is what it is: these
+    embeddings are random (not MRL-trained), so the head holds ~sqrt(
+    MRL_DIM/dim) = 0.5 of the energy and the 16-dim top-10 shares almost
+    nothing with the full-dim top-10 (measured 1/10). The diagnostics
+    operator exists precisely to flag that BEFORE anyone serves
+    truncated vectors; an MRL-trained model shows norm_frac near 1 and
+    high overlap."""
+    from minibatch_spark.operators.similarity import MRL_DIM
+    from minibatch_spark.registry import all_queries
+
+    q = all_queries()
+    rows = q["ann_topk_truncated"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    ids, V = _vectors(duck)
+    H = V[:, :MRL_DIM]
+    qi = ids.index(min(ids))
+    Hn = H / np.linalg.norm(H, axis=1, keepdims=True)
+    sims_np = Hn @ Hn[qi]
+    order = [
+        ids[k]
+        for k in sorted(
+            (k for k in range(len(ids)) if k != qi),
+            key=lambda k: (-round(sims_np[k], 6), ids[k]),
+        )
+    ][:10]
+    assert [r.vec_id for r in rows] == order
+
+    # the norm diagnostics predict the (lack of) overlap on random data:
+    # uniform energy -> norm_frac concentrates around sqrt(16/64) = 0.5
+    fracs = [
+        r.norm_frac for r in q["emb_matryoshka_truncate"](spark, SF_SMOKE).collect()
+    ]
+    assert all(0.0 < f < 1.0 for f in fracs)
+    mean_frac = sum(fracs) / len(fracs)
+    assert 0.35 < mean_frac < 0.65, mean_frac
