@@ -1434,3 +1434,71 @@ def ann_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+CASCADE_DEPTH = 50  # coarse-stage candidates fed to the full-dim rerank
+
+
+@query(
+    "ann_cascade_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             (CAST(embedding AS DOUBLE[]))[1:{MRL_DIM}] AS he
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe, he AS qh FROM v ORDER BY vec_id LIMIT 1
+    ), coarse AS (
+      SELECT v.vec_id FROM v, q
+      WHERE v.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+      ORDER BY ROUND(list_cosine_similarity(v.he, q.qh), 6) DESC, v.vec_id
+      LIMIT {CASCADE_DEPTH}
+    )
+    SELECT v.vec_id, v.label,
+           ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cos_sim
+    FROM v JOIN coarse ON v.vec_id = coarse.vec_id, q
+    ORDER BY cos_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Matryoshka TWO-STAGE CASCADE composed end-to-end: a truncated
+    MRL_DIM-dim coarse pass ranks the whole corpus and keeps CASCADE_DEPTH
+    candidates; the full-dim exact rerank reads ONLY those candidates
+    and returns the top-10. This is the serving shape truncation buys:
+    the corpus-wide pass moves MRL_DIM/dim (= 1/4 here) of the bytes,
+    and the full vectors are touched for 50 rows, not the corpus.
+
+    Plan: coarse stage is the same shuffle-free scan +
+    TakeOrderedAndProject as ann_topk_truncated; its 50-row id list
+    broadcasts back onto the corpus scan (BroadcastHashJoin — the corpus
+    is re-read, filtered map-side to 50 rows) and the rerank ends in a
+    second TakeOrderedAndProject. At 100 TB the second read is pruned by
+    the same scan the first pass used (or an id-keyed point-lookup table
+    in a real serving stack — the join shape is the same either way).
+
+    Cascade recall vs the full brute force is whatever the coarse stage
+    earns — on this random (non-MRL) corpus that is LOW (norm_frac ~0.5,
+    see emb_matryoshka_truncate); the operator's contract is faithful
+    composition, pinned by the oracle replaying both stages."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
+    qh = F.array(*[F.lit(float(x)) for x in qrow.embedding[:MRL_DIM]])
+    qe = F.array(*[F.lit(float(x)) for x in qrow.embedding])
+    he = F.slice(as_double("embedding"), 1, MRL_DIM)
+    coarse = (
+        e.filter(F.col("vec_id") != qrow.vec_id)
+        .select("vec_id", F.round(cosine(he, qh), 6).alias("hsim"))
+        .orderBy(F.desc("hsim"), F.asc("vec_id"))
+        .limit(CASCADE_DEPTH)
+        .select("vec_id")
+    )
+    sim = F.round(cosine(as_double("embedding"), qe), 6)
+    return (
+        e.join(F.broadcast(coarse), "vec_id")
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

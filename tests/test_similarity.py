@@ -369,3 +369,46 @@ def test_truncated_topk_matches_numpy_and_norms_predict_overlap(spark, duck):
     assert all(0.0 < f < 1.0 for f in fracs)
     mean_frac = sum(fracs) / len(fracs)
     assert 0.35 < mean_frac < 0.65, mean_frac
+
+
+def test_cascade_results_come_from_coarse_candidates(spark):
+    """Composition invariant: every cascade result id must be in the
+    coarse stage's candidate set, results are full-dim-ordered, and the
+    cascade's top hit agrees with brute force whenever the brute-force
+    winner survives the coarse cut (faithful two-stage semantics)."""
+    from minibatch_spark.operators.similarity import (
+        CASCADE_DEPTH,
+        MRL_DIM,
+        ann_cascade_topk,
+    )
+    from minibatch_spark.registry import all_queries
+
+    q = all_queries()
+    cascade = q["ann_cascade_topk"](spark, SF_SMOKE).collect()
+    assert 0 < len(cascade) <= 10
+    sims = [r.cos_sim for r in cascade]
+    assert sims == sorted(sims, reverse=True)
+    # coarse candidates = truncated ranking extended to CASCADE_DEPTH
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.similarity import as_double, cosine
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qh = F.array(*[F.lit(float(x)) for x in qrow.embedding[:MRL_DIM]])
+    he = F.slice(as_double("embedding"), 1, MRL_DIM)
+    coarse_ids = {
+        r.vec_id
+        for r in e.filter(F.col("vec_id") != qrow.vec_id)
+        .select("vec_id", F.round(cosine(he, qh), 6).alias("h"))
+        .orderBy(F.desc("h"), F.asc("vec_id"))
+        .limit(CASCADE_DEPTH)
+        .collect()
+    }
+    assert {r.vec_id for r in cascade} <= coarse_ids
+
+    full = q["ann_topk_bruteforce"](spark, SF_SMOKE).collect()
+    if full[0].vec_id in coarse_ids:
+        assert cascade[0].vec_id == full[0].vec_id
+        assert cascade[0].cos_sim == full[0].cos_sim
