@@ -865,3 +865,40 @@ def test_sliding_window_late_row_dropped(spark, tmp_path):
     em2.run(spark, available_now=True)
     assert em2.late_dropped == 1
     assert [w for w in seen2 if 9 in w] == []
+
+
+def test_sliding_equals_tumbling_when_slide_is_interval(spark, tmp_path):
+    """slide == interval degenerates to tumbling: same bucket contents as
+    FixedTimeWindow over the same rows (the overlap machinery must not
+    invent or lose rows at the degenerate point)."""
+    from minibatch_spark.streaming.window import SlidingTimeWindow
+
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="slide-deg")
+    for i, off in enumerate((0, 10, 70, 130)):
+        s.append({"i": i}, created=t0 + timedelta(seconds=off))
+    seen = []
+    em = SlidingTimeWindow(
+        s, interval=60, slide=60, name="sd",
+        emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+    )
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1], [2], [3]]
+
+
+def test_session_window_keyless_single_stream(spark, tmp_path):
+    """key=None sessions the whole stream as one sequence: two bursts
+    separated by more than the gap emit as two sessions."""
+    from minibatch_spark.streaming.window import SessionWindow
+
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="sess-keyless")
+    for i, off in enumerate((0, 5, 8, 120, 124)):
+        s.append({"i": i}, created=t0 + timedelta(seconds=off))
+    seen = []
+    em = SessionWindow(
+        s, gap=30, name="sk",
+        emitfn=lambda w: seen.append([d["i"] for d in w.data]),
+    )
+    em.run(spark, available_now=True)
+    assert seen == [[0, 1, 2], [3, 4]]
