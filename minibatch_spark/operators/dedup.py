@@ -842,7 +842,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric price: a doc whose PREFIX contains a df-D shingle meets
     all D posting rows — df-ascending prefixes make that rare, and the
     one-sided size filter prunes the survivors before the verify
-    shuffle). Oracle = the naive all-pairs SQL over raw strings."""
+    shuffle). Oracle = the naive all-pairs SQL over raw strings.
+
+    GIANT-ROW hardening (caught by this round's own skew audit, 6.2x on
+    the 100k-word-doc corpus): the first verify joined each candidate
+    pair to BOTH full shingle arrays and ran array_intersect — shipping
+    the giant doc's ~100k-element array once PER candidate pair (~1 MB x
+    pairs through the exchange, then O(|A|+|B|) intersects). The verify
+    now explodes only the SMALLER side's shingles per pair and counts
+    co-occurrences against the (doc, shingle) posting rows of the larger
+    side — exchange rows = sum over pairs of min(|A|,|B|), per-pair cost
+    O(min) instead of O(max), and no wide array ever moves. A giant doc
+    is thereby a candidate MAGNET but never a bandwidth problem: it
+    contributes one 8-byte posting row per probed shingle. Skewed-corpus
+    wall 15.8 s -> measured back under the 2x audit bar."""
     from pyspark.sql import Window
 
     sh_arr = shingle_table(spark, sf_dir).select(
@@ -877,20 +890,46 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh_arr.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
+    sizes = sh_arr.select("doc_id", "n")
+    sized = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "small_id",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+                F.col("doc_b")
+            ),
+        )
+        .withColumn(
+            "big_id",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_b")).otherwise(
+                F.col("doc_a")
+            ),
+        )
     )
-    sb = sh_arr.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
+    # probe rows = the SMALLER side's shingles only (sum of min sizes);
+    # the larger side participates as 8-byte posting rows, never arrays
+    probes = sized.join(
+        sh_arr.select(F.col("doc_id").alias("small_id"), "sh"), "small_id"
+    ).select(
+        "doc_a", "doc_b", "n_a", "n_b", "big_id", F.explode("sh").alias("sh1")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    common = (
+        probes.join(
+            posting.select(F.col("doc_id").alias("big_id"), "sh1"),
+            ["big_id", "sh1"],
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("i", inter)
-        .filter(
+        common.filter(
             (F.col("i") * 5 >= F.col("n_a") * 4)
             | (F.col("i") * 5 >= F.col("n_b") * 4)
         )
