@@ -123,6 +123,11 @@ class MinhashDedupStore:
 
     def __init__(self, spark: SparkSession, store_dir: str):
         self.spark = spark
+        # absolute from the start: the table name hashes this path, and the
+        # manifest's covered_files must compare stably when the store is
+        # reopened from a different cwd (covered-set membership is also
+        # realpath-normalized on both sides — belt and braces)
+        store_dir = os.path.abspath(store_dir)
         self.store_dir = store_dir
         self.exact_dir = os.path.join(store_dir, "exact")
         self.sigs_dir = os.path.join(store_dir, "sigs")
@@ -218,23 +223,56 @@ class MinhashDedupStore:
             self.store_dir.encode()
         ).hexdigest()[:12]
 
+    def _base_table(self, man: dict) -> DataFrame:
+        """Resolve the compacted base across PROCESS RESTARTS: saveAsTable
+        registers the table only in the creating session's in-memory
+        catalog (session.py runs no persistent metastore), so a store
+        reopened in a fresh process must re-register it from the manifest
+        before ``spark.table`` resolves. CREATE TABLE ... CLUSTERED BY
+        re-declares the bucketing, keeping the no-exchange bucketed join;
+        a legacy manifest without ``n_buckets`` falls back to a plain
+        parquet read of the same files — correct, just re-shuffles."""
+        name = self._bands_table_name()
+        if not self.spark.catalog.tableExists(name):
+            n = man.get("n_buckets")
+            if n is None:
+                return self.spark.read.schema(_BAND_SCHEMA).parquet(man["location"])
+            self.spark.sql(
+                f"CREATE TABLE {name} (doc_id BIGINT, band_key STRING) "
+                f"USING parquet CLUSTERED BY (band_key) SORTED BY (band_key) "
+                f"INTO {int(n)} BUCKETS LOCATION '{man['location']}'"
+            )
+        return self.spark.table(name)
+
     def bands(self) -> DataFrame:
         """The store's standing band table: the BUCKETED base written by
         the last ``compact_bands()`` (no Exchange needed when joined on
         band_key) unioned with raw per-batch band files appended since.
         Before any compaction it is simply the raw files — persisted at
         append time, so no per-batch re-derivation over the whole store
-        either way."""
+        either way. A store written before band persistence existed (sigs
+        populated, bands empty, no manifest) is backfilled ONCE from its
+        signatures so standing docs keep matching new arrivals."""
         man = self._manifest()
         raw = self._files(self.bands_dir)
         if man is not None:
-            covered = set(man["covered_files"])
-            delta_files = [f for f in raw if f not in covered]
-            base = self.spark.table(self._bands_table_name())
+            # realpath both sides: a relative store_dir opened from another
+            # cwd must not resurface compacted files as delta (the union
+            # stays correct via downstream dropDuplicates, but doubles
+            # candidate/verify work)
+            covered = {os.path.realpath(f) for f in man["covered_files"]}
+            delta_files = [f for f in raw if os.path.realpath(f) not in covered]
+            base = self._base_table(man)
             if delta_files:
                 delta = self.spark.read.schema(_BAND_SCHEMA).parquet(*delta_files)
                 return base.unionByName(delta)
             return base
+        if not raw and self._files(self.sigs_dir):
+            # pre-band-persistence store: derive band keys from the stored
+            # signatures and PERSIST them (one-time migration), else every
+            # near-dup candidate against standing content is silently lost
+            band_keys(self.sigs()).write.mode("append").parquet(self.bands_dir)
+            raw = self._files(self.bands_dir)
         if raw:
             return self.spark.read.schema(_BAND_SCHEMA).parquet(*raw)
         return self.spark.createDataFrame([], _BAND_SCHEMA)
@@ -260,7 +298,12 @@ class MinhashDedupStore:
         parts = []
         if man is not None:
             parts += self._files(man["location"])
-        parts += [f for f in raw if man is None or f not in set(man["covered_files"])]
+        covered = (
+            {os.path.realpath(f) for f in man["covered_files"]}
+            if man is not None
+            else set()
+        )
+        parts += [f for f in raw if os.path.realpath(f) not in covered]
         if not parts:
             return
         df = self.spark.read.schema(_BAND_SCHEMA).parquet(*parts)
@@ -270,7 +313,17 @@ class MinhashDedupStore:
         write_bucketed(df, self._bands_table_name(), "band_key", n_buckets, new_loc)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"location": new_loc, "covered_files": raw}, f)
+            # covered_files realpath-normalized + n_buckets recorded so a
+            # fresh process can re-register the bucketed table (see
+            # _base_table) and compare coverage cwd-independently
+            json.dump(
+                {
+                    "location": new_loc,
+                    "covered_files": [os.path.realpath(f) for f in raw],
+                    "n_buckets": int(n_buckets),
+                },
+                f,
+            )
         os.replace(tmp, self._manifest_path)  # atomic manifest swap
         if man is not None:
             shutil.rmtree(man["location"], ignore_errors=True)

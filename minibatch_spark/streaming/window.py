@@ -716,9 +716,13 @@ class SessionWindow(WindowEmitter):
         if self.key is None:
             return None
         try:
-            return json.loads(r["data"]).get(self.key)
+            obj = json.loads(r["data"])
         except (ValueError, TypeError):
             return None
+        # valid non-object JSON ('[1,2]', '"x"', '3') must not raise out of
+        # split() — that fails the micro-batch and replays the poison
+        # message forever; such rows session under the None key instead
+        return obj.get(self.key) if isinstance(obj, dict) else None
 
     def _sessions(self, rows: list[dict]) -> list[list[dict]]:
         """Partition key-ordered rows into gap-separated runs."""

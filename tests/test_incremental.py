@@ -143,6 +143,87 @@ def test_compaction_interleaved_keeps_results_identical(spark, tmp_path):
     assert one == got
 
 
+def test_store_survives_process_restart_after_compaction(spark, tmp_path):
+    """Cross-restart durability (ADVICE r6, high): write_bucketed registers
+    the compacted base only in the creating session's in-memory catalog, so
+    a fresh process must re-register it from the manifest. Simulated here
+    by DROPping the table (external — data files untouched) and opening a
+    NEW store object on the same dir: bands() must resolve, keep decisions
+    must still see the standing store, and the re-registered table must
+    still read Bucketed."""
+    store = _store(spark, tmp_path, "restart")
+    store.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]))
+    store.compact_bands(n_buckets=4)
+    name = store._bands_table_name()
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate process restart
+
+    reopened = _store(spark, tmp_path, "restart")
+    # the re-registration keeps the bucketed layout (checked where it
+    # matters — a join on the bucket key, before any delta unions in): the
+    # store side reads Bucketed with no Exchange above it
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(3).select(
+            F.md5(F.col("id").cast("string")).alias("band_key")
+        ).repartition(4, "band_key")
+        joined = reopened.bands().join(probe, "band_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+    r2 = reopened.process_batch(
+        _docs(spark, [(10, BASE), (11, NEAR), (12, "tiny new doc here ok")])
+    )
+    got = {r.doc_id: r.keep for r in r2.collect()}
+    assert got == {10: 0, 11: 0, 12: 1}
+
+
+def test_legacy_store_without_bands_backfills(spark, tmp_path):
+    """Backward compat (ADVICE r6, medium): a store written before band
+    persistence existed has sigs/ but no bands/. bands() must backfill
+    from the signatures (once, persisted) instead of silently returning an
+    empty band table — else every near-dup against standing content gets
+    keep=1."""
+    import shutil
+
+    store = _store(spark, tmp_path, "legacy")
+    store.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]))
+    shutil.rmtree(store.bands_dir, ignore_errors=True)
+    if os.path.exists(store._manifest_path):
+        os.remove(store._manifest_path)
+
+    reopened = _store(spark, tmp_path, "legacy")
+    r2 = reopened.process_batch(_docs(spark, [(11, NEAR)]))
+    assert {r.doc_id: r.keep for r in r2.collect()} == {11: 0}
+    # the migration persisted: bands dir materialized, not re-derived
+    assert reopened._files(reopened.bands_dir)
+
+
+def test_manifest_coverage_is_path_normalized(spark, tmp_path):
+    """ADVICE r6, low: covered-file membership must survive path-form
+    differences (relative store_dir / redundant segments) — mangled
+    manifest paths must NOT resurface compacted raw files as delta."""
+    import json as _json
+
+    store = _store(spark, tmp_path, "paths")
+    store.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]))
+    store.compact_bands(n_buckets=4)
+    clean = store.bands().count()
+
+    with open(store._manifest_path) as f:
+        man = _json.load(f)
+    man["covered_files"] = [
+        os.path.join(os.path.dirname(p), "x", "..", os.path.basename(p))
+        for p in man["covered_files"]
+    ]
+    with open(store._manifest_path, "w") as f:
+        _json.dump(man, f)
+    assert store.bands().count() == clean
+
+
 def test_compacted_store_join_no_store_exchange(spark, tmp_path):
     """The at-scale claim as a PLAN, not prose: after compact_bands the
     store's band table is bucketed by band_key, so a candidate join

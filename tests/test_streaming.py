@@ -814,6 +814,31 @@ def test_session_window_flush_idle_and_restart(spark, tmp_path):
     assert em2.flush_idle(now=t0 + timedelta(seconds=2000)) == 0
 
 
+def test_session_window_non_object_json_payload_not_poison(spark, tmp_path):
+    """ADVICE r6: a VALID non-object JSON payload ('[1,2]', '"x"', '3')
+    must not raise out of split() — that fails the micro-batch and replays
+    the poison message forever. Such rows session under the None key."""
+    from minibatch_spark.streaming.window import SessionWindow
+
+    t0 = datetime(2024, 1, 1)
+    s = _mk(tmp_path, name="sesspoison")
+    em = SessionWindow(s, gap=30, key="u", name="swp")
+    rows = [
+        {"data": json.dumps({"u": "a", "i": 0}), "created": t0, "seq": 1},
+        {"data": "[1, 2]", "created": t0 + timedelta(seconds=1), "seq": 2},
+        {"data": '"x"', "created": t0 + timedelta(seconds=2), "seq": 3},
+        {"data": "3", "created": t0 + timedelta(seconds=3), "seq": 4},
+        {"data": "not json at all", "created": t0 + timedelta(seconds=4), "seq": 5},
+    ]
+    assert em._key_of(rows[0]) == "a"
+    for r in rows[1:]:
+        assert em._key_of(r) is None  # no AttributeError escape
+    # final drain: one session for key 'a', one for the None key
+    windows, carry = em.split(rows, final=True)
+    assert carry == []
+    assert sorted(len(w) for w in windows) == [1, 4]
+
+
 def test_sliding_window_decorator_end_to_end(spark, tmp_path):
     """@streaming(interval=60, slide=30): every row appears in
     interval/slide = 2 windows; gaps emit empty windows; windows arrive

@@ -27,20 +27,36 @@ sys.path.insert(0, REPO)
 # Queries whose wall is bounded by their OUTPUT (or candidate) size on this
 # corpus by construction — super-linear wall there reflects super-linear
 # TRUE RESULT growth, not a plan defect. Each entry carries the measured
-# justification; flagged rows move to `output_bound` in the artifact (still
+# justification AND a `max_ratio` ceiling derived from the measured
+# candidate-growth evidence: the exemption is BOUNDED, not blanket — a wall
+# ratio beyond the candidate growth itself (e.g. a lost broadcast turning
+# the verify into a shuffle blowup) still trips both flag lists. Flagged
+# rows within the ceiling move to `output_bound` in the artifact (still
 # visible, labeled) instead of `super_linear`. Keep this list SHORT and
-# evidence-backed: anything here is exempt from the sub-linear gate.
-OUTPUT_BOUND: dict[str, str] = {
-    "emb_near_dup_pairs": (
-        "pair ENUMERATION on a near-isotropic corpus: banded LSH emits "
-        "~51% of ALL pairs as candidates at ANY threshold (measured 0.513 "
-        "of n(n-1)/2 at n=2000 AND n=20000 — random hyperplanes cannot "
-        "prune near-orthogonal vectors), and the true pair set at the "
-        "test threshold 0.4 itself grows ~quadratically (~74k pairs at "
-        "n=20k). The bounded-output alternative is emb_near_dup_topk "
-        "(cell-bounded top-k, linear by construction, audited normally)."
-    ),
+# evidence-backed.
+OUTPUT_BOUND: dict[str, dict] = {
+    "emb_near_dup_pairs": {
+        "why": (
+            "pair ENUMERATION on a near-isotropic corpus: banded LSH emits "
+            "~51% of ALL pairs as candidates at ANY threshold (measured "
+            "0.513 of n(n-1)/2 at n=2000 AND n=20000 — random hyperplanes "
+            "cannot prune near-orthogonal vectors), and the true pair set "
+            "at the test threshold 0.4 itself grows ~quadratically (~74k "
+            "pairs at n=20k). The bounded-output alternative is "
+            "emb_near_dup_topk (cell-bounded top-k, linear by "
+            "construction, audited normally)."
+        ),
+        # candidate count ∝ 0.513·n(n-1)/2 → grows as data_ratio² (100×
+        # for the 10× audit); wall beyond that exceeds even the quadratic
+        # candidate growth and can only be a plan defect. Measured wall
+        # ratio on the healthy plan: 15.9 (r06) — far inside the ceiling.
+        "max_ratio_basis": "data_ratio**2 (measured candidate growth is quadratic)",
+    },
 }
+
+
+def _output_bound_ceiling(data_ratio: float) -> float:
+    return data_ratio**2
 
 
 def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float | None]:
@@ -84,12 +100,21 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
     # a query that FAILED on either side is flagged explicitly, not dropped
     failed = [n for n, r in rows.items() if r["a_sec"] is None or r["b_sec"] is None]
     over = [n for n, r in rows.items() if r["ratio"] and r["ratio"] > data_ratio]
-    sup = [n for n in over if n not in OUTPUT_BOUND]
-    out_bound = {n: OUTPUT_BOUND[n] for n in over if n in OUTPUT_BOUND}
+    ceiling = _output_bound_ceiling(data_ratio)
+    # exempt ONLY within the measured candidate-growth ceiling: beyond it
+    # the wall exceeds even the justified output growth → real flag
+    exempt = [
+        n for n in over if n in OUTPUT_BOUND and rows[n]["ratio"] <= ceiling
+    ]
+    sup = [n for n in over if n not in exempt]
+    out_bound = {
+        n: {**OUTPUT_BOUND[n], "max_ratio": ceiling, "ratio": rows[n]["ratio"]}
+        for n in exempt
+    }
     bad = [
         n
         for n, r in rows.items()
-        if r["ratio"] and r["ratio"] > 2 * data_ratio and n not in OUTPUT_BOUND
+        if r["ratio"] and r["ratio"] > 2 * data_ratio and n not in exempt
     ]
     print(
         json.dumps(
