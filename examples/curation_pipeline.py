@@ -47,6 +47,31 @@ def main() -> None:
             f"{r.tokens} tokens ({r.token_share:.1%})"
         )
 
+    # the SAME pipeline on the streaming path — shard-by-shard ingest
+    # into a persisted curation store, report on demand. Bit-identical to
+    # the batch run above (pinned by tests/test_streaming_curate.py);
+    # arrival order doesn't matter.
+    import tempfile
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.streaming.curate_stream import CurateStore
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CurateStore(spark, os.path.join(tmp, "curate-store"))
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "text", "source"
+        )
+        for i in range(3):  # three arriving shards
+            store.process_batch(
+                docs.filter(F.col("doc_id") % 3 == i), batch_tag=f"shard-{i}"
+            )
+        print("streamed curate report (== batch):")
+        for r in store.report().collect():
+            print(
+                f"  {r.split:>10} {r.source}: {r.n_docs} docs, "
+                f"{r.tokens} tokens ({r.token_share:.1%})"
+            )
+
 
 if __name__ == "__main__":
     main()

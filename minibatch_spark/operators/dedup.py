@@ -471,6 +471,9 @@ _NGRAM_PAIRS_SQL = f"""
 """
 
 
+NGRAM_JACCARD_THRESHOLD = 0.8  # shared with streaming/curate_stream.py
+
+
 @query("dedup_ngram_jaccard", oracle=_NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold t=0.8) via PREFIX
@@ -560,7 +563,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.8)
+        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -678,9 +681,22 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the optimum at this graph shape.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(
+    pairs: DataFrame, stage_prefix: str = "cc"
+) -> DataFrame:
+    """Min-label-propagation connected components over an undirected edge
+    list (doc_a, doc_b) -> (doc_id, rep_id = component min). The
+    dedup_cluster_reps core, reusable for any pair graph (the streaming
+    curation report runs it over the store's accumulated edge set —
+    streaming/curate_stream.py). ``stage_prefix`` namespaces the
+    per-round stage files so two CC runs in one session don't reclaim
+    each other's still-live rounds."""
     edges = stage(
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("u", "v"),
-        "cc-edges",
+        f"{stage_prefix}-edges",
     )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -709,7 +725,7 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cluster tier: durable files truly cut lineage per round
             # (per-iteration name ping-pong: stage() reclaims same-name
             # stages eagerly and round i+1 still reads round i's files)
-            staged = stage(new, f"cc-labels-{it % 2}")
+            staged = stage(new, f"{stage_prefix}-labels-{it % 2}")
         else:
             from pyspark.storagelevel import StorageLevel
 

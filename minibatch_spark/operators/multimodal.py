@@ -408,6 +408,45 @@ def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMAGE_NEAR_DUP_THRESHOLD = 0.95
 
 
+def _image_near_dup_oracle() -> str:
+    """DuckDB replay of the ENTIRE pipeline: md5-stub decode (the
+    multimodal_feature_topk feature SQL) -> 32-plane signature over the
+    8-dim centered features -> 8x4 banding -> candidate join -> exact
+    cosine verify at 0.95 — the emb_near_dup_pairs oracle recipe applied
+    to decoded multimodal features (round-6 verdict #2)."""
+    from minibatch_spark.operators.similarity import (
+        BAND_BITS,
+        NEAR_DUP_BANDS,
+        _bucket_sql_expr,
+    )
+
+    return f"""
+    WITH f AS ({_FEATURES_SQL}
+    ), sig AS (
+      SELECT doc_id AS vec_id, fv AS ve,
+        {_bucket_sql_expr(col="fv")} AS bucket
+      FROM f
+    ), bands AS (
+      SELECT vec_id, band.b AS band_id,
+             substring(bucket, band.b * {BAND_BITS} + 1, {BAND_BITS}) AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {NEAR_DUP_BANDS - 1})) AS b) band
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_cosine_similarity(sa.ve, sb.ve), 6) AS cos_sim
+    FROM cand c
+    JOIN sig sa ON sa.vec_id = c.vec_a
+    JOIN sig sb ON sb.vec_id = c.vec_b
+    WHERE ROUND(list_cosine_similarity(sa.ve, sb.ve), 6)
+          >= {IMAGE_NEAR_DUP_THRESHOLD}
+    """
+
+
+@query("image_near_dup_pairs", oracle=_image_near_dup_oracle())
 def image_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -419,13 +458,21 @@ def image_near_dup_pairs(
     (similarity.banded_near_dup_pairs). Identical blobs decode to
     identical features (cos 1.0) and are always found; with a real codec
     (codec=pil_decode) perceptually-near images land within the
-    threshold. Pytest pins planted-duplicate recall == 1.0 and exact
-    agreement with a numpy brute-force replay
-    (tests/test_multimodal.py). Not registered for the driver gate: the
-    8-dim md5 stub features have low angular contrast, so the banded
-    candidate set at test scale is output-bound (see emb_near_dup_pairs'
-    round-4 analysis) — the linear-cost registered bridge surface is
-    multimodal_feature_topk."""
+    threshold. Pytest additionally pins planted-duplicate recall == 1.0
+    and exact agreement with a numpy brute-force replay
+    (tests/test_multimodal.py); the oracle replays decode + banding +
+    verify end-to-end.
+
+    SCALE shape: the 8-dim md5 stub features have low angular contrast,
+    so candidate ENUMERATION is output/candidate-bound at any threshold
+    (measured: banding emits 0.428 / 0.426 of ALL pairs at n=500 and
+    n=5000 — scale-invariant fraction, i.e. quadratic count), exactly
+    the emb_near_dup_pairs isotropic analysis; the scale audit carries
+    the same bounded output_bound adjudication. The linear-cost bridge
+    surface for pipelines that need a bounded answer stays
+    multimodal_feature_topk; with a real codec's higher-contrast
+    features the wide-banding clustered regime applies
+    (tests/test_clustered_regime.py)."""
     from minibatch_spark.operators.similarity import banded_near_dup_pairs
 
     feats = decoded_feature_vectors(spark, sf_dir, codec=codec)

@@ -1,0 +1,330 @@
+"""Streaming corpus curation: the flagship `curate_corpus` pipeline run
+shard-by-shard on the Structured Streaming path — the production arrival
+shape (round-6 verdict #7).
+
+Division of labor (the shape a real 100 TB ingest wants):
+
+- **Per micro-batch (streaming)**: everything per-doc or doc-vs-standing-
+  state — quality/language flags, token and distinct-token counts,
+  md5(text) for exact-dup canonicalization, the doc's shingle-hash set,
+  and the VERIFIED n-gram-Jaccard edges the new docs add against
+  (store ∪ batch). All appends are tagged for rollback, the same
+  exactly-once foreachBatch recipe as streaming/dedup_stream.py.
+- **At report time (batch over accumulated state)**: the inherently
+  global steps — exact-dup canonical (min doc_id per hash), connected
+  components over the full edge set, the keep-best argmax per cluster,
+  the leakage-safe split, and the (split, source) mixture aggregation.
+  These read compact state (narrow fact rows + the edge sliver), never
+  the raw corpus.
+
+BIT-IDENTITY with batch `curate_corpus` (pinned in
+tests/test_streaming_curate.py): every report-time step is a pure
+function of the accumulated per-doc facts and the verified edge SET —
+and the streamed edge set equals the batch one exactly. The batch
+operator's prefix filter orders shingles by corpus-wide document
+frequency; that order is NOT stable under incremental arrival, so this
+module uses ascending HASH order instead — the prefix theorem (Bayardo
+et al. All-Pairs: any pair with jaccard >= t shares its globally-
+smallest common shingle inside both prefixes) holds for ANY fixed total
+order, so the candidate sets differ but the VERIFIED sets are equal.
+Each unordered pair is discovered exactly once: in the arrival batch of
+its later doc (both-in-batch pairs dedupe within the batch). Arrival
+ORDER never matters — unlike the incremental minhash store's
+lowest-id-wins contract, every report-time decision (min-per-hash, CC
+min-label, keep-best) is order-independent, so even out-of-order shards
+reproduce the batch result.
+
+No reference analog: the reference has no dedup/curation at all
+(/root/reference/README.rst:315-322); this composes our own batch
+operators' semantics onto its streaming consume-once contract
+(/root/reference/minibatch/models.py:139-151).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Callable, Optional
+
+from pyspark.sql import functions as F
+
+from minibatch_spark.operators.dedup import (
+    NGRAM_JACCARD_THRESHOLD,
+    connected_components,
+    h64,
+    shingles_of,
+    tokens,
+)
+from minibatch_spark.operators.incremental import MinhashDedupStore
+from minibatch_spark.operators.text import STOPWORDS
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql.streaming import StreamingQuery
+
+_FACT_SCHEMA = (
+    "doc_id long, source string, text_hash string, n_tokens long, "
+    "n_unique long, quality_ok int, is_en int"
+)
+_SHINGLE_SCHEMA = "doc_id long, sh array<long>, n int"
+_EDGE_SCHEMA = "doc_a long, doc_b long"
+
+
+class CurateStore:
+    """Persisted curation state + the per-shard processing step.
+
+    Three parquet dirs under ``store_dir`` (tagged appends, snapshot
+    file-list reads and rollback exactly like MinhashDedupStore):
+    ``facts/`` per-doc flag/count rows, ``shingles/`` per-doc sorted
+    xxhash64 shingle sets (the exact-Jaccard index), ``edges/`` the
+    verified pair graph."""
+
+    def __init__(self, spark: "SparkSession", store_dir: str):
+        self.spark = spark
+        self.store_dir = os.path.abspath(store_dir)
+        self.facts_dir = os.path.join(self.store_dir, "facts")
+        self.shingles_dir = os.path.join(self.store_dir, "shingles")
+        self.edges_dir = os.path.join(self.store_dir, "edges")
+        os.makedirs(self.store_dir, exist_ok=True)
+        self._batch = 0
+
+    # snapshot/rollback plumbing shared with the minhash store
+    _files = staticmethod(MinhashDedupStore._files)
+
+    def _read(self, path: str, schema: str) -> "DataFrame":
+        files = self._files(path)
+        if files:
+            return self.spark.read.schema(schema).parquet(*files)
+        return self.spark.createDataFrame([], schema)
+
+    def _append_dir(self, root: str, batch_tag: "str | None") -> str:
+        if batch_tag is None:
+            return root
+        d = os.path.join(root, f"tag={batch_tag}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def rollback(self, batch_tag: str) -> None:
+        import shutil
+
+        for root in (self.facts_dir, self.shingles_dir, self.edges_dir):
+            shutil.rmtree(os.path.join(root, f"tag={batch_tag}"), ignore_errors=True)
+
+    def facts(self) -> "DataFrame":
+        return self._read(self.facts_dir, _FACT_SCHEMA)
+
+    def shingles(self) -> "DataFrame":
+        return self._read(self.shingles_dir, _SHINGLE_SCHEMA)
+
+    def edges(self) -> "DataFrame":
+        return self._read(self.edges_dir, _EDGE_SCHEMA)
+
+    # -- per-shard step ---------------------------------------------------
+
+    def process_batch(
+        self, docs: "DataFrame", batch_tag: "str | None" = None
+    ) -> None:
+        """Ingest one shard: ``docs`` has (doc_id, text, source) columns.
+        Appends the shard's fact rows, shingle sets, and the verified
+        near-dup edges its docs add against (store ∪ shard)."""
+        self._batch += 1
+        # snapshot BEFORE appending (append-immune lineage, same reason
+        # as MinhashDedupStore._read)
+        standing = self.shingles()
+
+        t = tokens("text")
+        swr = F.size(
+            F.filter(t, lambda x: x.isin(*STOPWORDS))
+        ).cast("double") / F.size(t)
+        quality = F.size(t).between(5, 5000) & swr.between(0.01, 0.6)
+        facts = docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("text_hash"),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+            F.when(quality, 1).otherwise(0).alias("quality_ok"),
+            F.when(swr >= 0.05, 1).otherwise(0).alias("is_en"),
+        )
+        facts.write.mode("append").parquet(
+            self._append_dir(self.facts_dir, batch_tag)
+        )
+
+        # sorted ASCENDING-HASH shingle sets: the fixed total order the
+        # incremental prefix filter needs (module docstring)
+        sh = (
+            docs.select("doc_id", shingles_of(t).alias("s"))
+            .filter(F.size("s") > 0)
+            .select(
+                "doc_id",
+                F.array_sort(
+                    F.transform("s", lambda x: F.xxhash64(x))
+                ).alias("sh"),
+            )
+            .select("doc_id", "sh", F.size("sh").cast("int").alias("n"))
+        )
+        sh.write.mode("append").parquet(
+            self._append_dir(self.shingles_dir, batch_tag)
+        )
+        # re-read what we just wrote (durable, snapshot) so the candidate
+        # join below doesn't recompute the shingle lineage per use
+        batch_files = self._files(self._append_dir(self.shingles_dir, batch_tag))
+        batch_sh = self.spark.read.schema(_SHINGLE_SCHEMA).parquet(*batch_files) \
+            if batch_files else self.spark.createDataFrame([], _SHINGLE_SCHEMA)
+
+        edges = self._new_edges(batch_sh, standing)
+        edges.write.mode("append").parquet(
+            self._append_dir(self.edges_dir, batch_tag)
+        )
+
+    def _new_edges(
+        self, batch_sh: "DataFrame", standing: "DataFrame"
+    ) -> "DataFrame":
+        """Verified jaccard >= t pairs with at least one side in the
+        batch: batch prefixes join (store ∪ batch) prefixes on the
+        shingle hash with the All-Pairs size filter, then exact
+        array_intersect verify — the dedup_ngram_jaccard recipe with the
+        df-order prefix swapped for stable hash order."""
+        both = standing.unionByName(batch_sh)
+
+        def prefix(df):
+            # first n - ceil(t*n) + 1 elements of the hash-sorted set;
+            # integer math as in the batch operator ((4n+4) div 5)
+            plen = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+            return df.select(
+                "doc_id", "n", F.explode(F.slice("sh", 1, plen)).alias("sh1")
+            )
+
+        a = prefix(batch_sh).alias("a")
+        b = prefix(both).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.sh1") == F.col("b.sh1"))
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+                & (F.col("a.n") * 5 >= F.col("b.n") * 4),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sa = both.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+            F.col("n").alias("n_a"),
+        )
+        sb = both.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+            F.col("n").alias("n_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= NGRAM_JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+
+    # -- the global (report-time) steps -----------------------------------
+
+    def report(self) -> "DataFrame":
+        """The curate_corpus mixture report over everything ingested so
+        far: (split, source, n_docs, tokens, token_share) — bit-identical
+        to batch curate_corpus on the same corpus (every step is an
+        order-independent function of accumulated facts + the edge set)."""
+        from pyspark.sql import Window
+
+        from minibatch_spark.operators.curation import (
+            SPLIT_BUCKETS,
+            SPLIT_TRAIN,
+            SPLIT_VAL,
+        )
+
+        facts = self.facts()
+        canon = F.col("doc_id") == F.min("doc_id").over(
+            Window.partitionBy("text_hash")
+        )
+        reps = connected_components(
+            self.edges().select("doc_a", "doc_b"), stage_prefix="curate-cc"
+        )
+        assigned = (
+            facts.withColumn("is_canonical", canon)
+            .join(reps.select("doc_id", "rep_id"), "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("rep_id", "doc_id"))
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("n_unique"), F.asc("doc_id")
+        )
+        curated = assigned.withColumn(
+            "kept", F.row_number().over(w) == 1
+        ).filter(
+            (F.col("quality_ok") == 1)
+            & (F.col("is_en") == 1)
+            & F.col("is_canonical")
+            & F.col("kept")
+        )
+        b = F.pmod(
+            h64(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+            F.lit(SPLIT_BUCKETS),
+        )
+        split = (
+            F.when(b < SPLIT_TRAIN, "train")
+            .when(b < SPLIT_VAL, "validation")
+            .otherwise("test")
+        )
+        per = (
+            curated.select(split.alias("split"), "source", "n_tokens")
+            .groupBy("split", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+        )
+        total = per.agg(F.sum("tokens").alias("__total"))
+        return (
+            per.join(F.broadcast(total))
+            .select(
+                "split",
+                "source",
+                "n_docs",
+                "tokens",
+                F.round(
+                    F.col("tokens").cast("double") / F.col("__total"), 6
+                ).alias("token_share"),
+            )
+            .orderBy("split", "source")
+        )
+
+
+def curate_doc_stream(
+    spark: "SparkSession",
+    docs: "DataFrame",
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    on_batch: Optional[Callable[[int, int], None]] = None,
+) -> "StreamingQuery":
+    """Drive the curation store from Structured Streaming: ``docs`` is a
+    STREAMING DataFrame with (doc_id, text, source). Exactly-once via
+    tagged appends + rollback-before-process (replay restores the exact
+    pre-batch store, the dedup_doc_stream recipe). Call
+    ``CurateStore(spark, store_dir).report()`` any time for the current
+    mixture table."""
+    store = CurateStore(spark, store_dir)
+
+    def _handle(batch_df: "DataFrame", batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        store.rollback(tag)
+        b = batch_df.select("doc_id", "text", "source")
+        store.process_batch(b, batch_tag=tag)
+        if on_batch is not None:
+            on_batch(batch_id, b.count())
+
+    writer = docs.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

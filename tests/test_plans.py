@@ -652,3 +652,23 @@ def test_near_dup_topk_window_group_limit_no_cartesian(spark):
     df = _q("emb_near_dup_topk")(spark, SF_SMOKE)
     assert_in_plan(df, "WindowGroupLimit")
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_chunk_for_rag_zero_shuffle(spark):
+    """docs_chunk_for_rag claims 'pure flatMap of the scan, zero shuffle'
+    (text.py) — pinned here so a future edit that inserts an Exchange
+    between the explode and the final select starts MOVING the wide token
+    array the Generate currently only references within one fused codegen
+    stage (round-6 verdict nit)."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("docs_chunk_for_rag")(spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert "Generate explode" in plan, plan
+    # the plan prints top-down (output first): everything BEFORE the
+    # Generate line is downstream of the explode — the region that must
+    # stay exchange-free so the token array never moves post-fan-out.
+    # (spread()'s test-scale round-robin sits BELOW the Generate and is a
+    # no-op at real scale.)
+    above = plan.split("Generate explode", 1)[0]
+    assert "Exchange" not in above, plan

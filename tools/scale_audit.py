@@ -52,6 +52,19 @@ OUTPUT_BOUND: dict[str, dict] = {
         # ratio on the healthy plan: 15.9 (r06) — far inside the ceiling.
         "max_ratio_basis": "data_ratio**2 (measured candidate growth is quadratic)",
     },
+    "image_near_dup_pairs": {
+        "why": (
+            "same enumeration analysis on the 8-dim md5-stub decoded "
+            "features (low angular contrast): banding emits a SCALE-"
+            "INVARIANT fraction of all pairs (measured 0.428 at n=500 "
+            "and 0.426 at n=5000), so the candidate count is quadratic "
+            "by construction at any threshold. The linear-cost bridge "
+            "surface is multimodal_feature_topk; real-codec features "
+            "fall under the clustered wide-banding regime "
+            "(SCALE_AUDIT_CLUSTERED artifacts)."
+        ),
+        "max_ratio_basis": "data_ratio**2 (measured candidate growth is quadratic)",
+    },
 }
 
 
