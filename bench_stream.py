@@ -55,7 +55,7 @@ N_FILES = 16  # parallelism of the file source scan
 T0 = datetime(2026, 1, 1, 12, 0, 0)
 
 
-def produce(stream, n: int, n_keys: int = 1) -> None:
+def produce(stream, n: int, n_keys: int = 1, created_us=None) -> None:
     """Bulk-load n envelope rows as N_FILES parquet parts (pyarrow direct —
     the Batcher path would build n dicts one at a time). ``n_keys > 1``
     spreads rows round-robin over that many stream keys: the state-store
@@ -79,7 +79,13 @@ def produce(stream, n: int, n_keys: int = 1) -> None:
             {
                 "stream": pa.array(names),
                 "created": pa.array(
-                    [T0 + timedelta(microseconds=i) for i in rows],
+                    [
+                        T0
+                        + timedelta(
+                            microseconds=created_us(i) if created_us else i
+                        )
+                        for i in rows
+                    ],
                     pa.timestamp("us"),
                 ),
                 "seq": pa.array(list(rows), pa.int64()),
@@ -224,6 +230,56 @@ def main() -> None:
         assert windows == (N_ROWS // n_keys // WINDOW) * n_keys, windows
         record("tws_count_16keys", wall, windows)
 
+    # -- 5. SessionWindow (keyless, gap-separated runs) -------------------
+    # the round-6 emitters get throughput rows (round-6 verdict #4): a
+    # regression in the session partitioner or the carry path shows up
+    # here, not only in correctness pins. Timestamps: WINDOW-row runs at
+    # 1 ms spacing separated by 60 s jumps (gap=30 closes each run), so
+    # the expected session count is exact.
+    from minibatch_spark.streaming.window import SessionWindow, SlidingTimeWindow
+
+    s = Stream("bs-session", base_dir=base)
+    produce(
+        s, N_ROWS,
+        created_us=lambda i: (i // WINDOW) * 60_000_000 + (i % WINDOW) * 1_000,
+    )
+    sess_rows = [0]
+
+    def sess_emit(w):
+        sess_rows[0] += len(w.data)
+
+    em = SessionWindow(s, gap=30.0, emitfn=sess_emit, clean_source=False,
+                       max_collect_rows=N_ROWS)
+    t0 = time.monotonic()
+    em.run(spark, available_now=True)
+    session_wall = time.monotonic() - t0
+    assert sess_rows[0] == N_ROWS, sess_rows
+    assert len(em.emitted) == N_ROWS // WINDOW, len(em.emitted)
+    record("session_window", session_wall, len(em.emitted))
+
+    # -- 6. SlidingTimeWindow (interval 60 s, slide 30 s: 2x overlap) -----
+    # overlap machinery is O(rows x windows-per-batch) on the driver —
+    # bench at N_ROWS/10 rows spaced 30 ms (each row in exactly 2
+    # windows) so the scenario measures the emitter's intended
+    # reference-protocol regime, not a pathological single giant batch.
+    slide_rows = N_ROWS // 10
+    s = Stream("bs-sliding", base_dir=base)
+    produce(s, slide_rows, created_us=lambda i: i * 30_000)
+    slid = {"rows": 0}
+
+    def slide_emit(w):
+        slid["rows"] += len(w.data)
+
+    em = SlidingTimeWindow(s, interval=60.0, slide=30.0, emitfn=slide_emit,
+                           clean_source=False, max_collect_rows=N_ROWS)
+    t0 = time.monotonic()
+    em.run(spark, available_now=True)
+    sliding_wall = time.monotonic() - t0
+    # every row lands in exactly interval/slide = 2 windows
+    assert slid["rows"] == 2 * slide_rows, slid
+    record("sliding_window", sliding_wall, len(em.emitted), rows=slide_rows)
+    scenarios["sliding_window"]["emitted_rows"] = slid["rows"]
+
     shutil.rmtree(base, ignore_errors=True)
     total = round(sum(sc["wall_sec"] for sc in scenarios.values()), 3)
     out = {
@@ -259,14 +315,49 @@ def main() -> None:
         out["tws_over_aip_wall_ratio"] = ratio
         regressed = ratio >= 3.0
         out["tws_ratio_regressed"] = regressed
+    # Emitter-overhead bounds (round-6 verdict #4): both new emitters ride
+    # the SAME driver-materializing foreachBatch path as
+    # countwindow_collect, so their cost is that baseline plus the
+    # strategy's own machinery (session sort/partition; sliding overlap
+    # assignment). The flags bound the overhead as ratios to the baseline
+    # measured in the SAME run — robust to shared-host drift. Sliding is
+    # normalized per EMITTED row (overlap factor interval/slide = 2):
+    # each row is delivered twice, so per-delivered-row cost is the
+    # comparable unit.
+    sess_ratio = round(
+        scenarios["session_window"]["wall_sec"]
+        / scenarios["countwindow_collect"]["wall_sec"],
+        2,
+    )
+    out["session_over_count_wall_ratio"] = sess_ratio
+    slide_eff = (
+        scenarios["sliding_window"]["emitted_rows"]
+        / scenarios["sliding_window"]["wall_sec"]
+    )
+    out["sliding_emitted_rows_per_sec"] = round(slide_eff)
+    slide_ratio = round(
+        scenarios["countwindow_collect"]["rows_per_sec"] / slide_eff, 2
+    )
+    out["count_over_sliding_per_row_ratio"] = slide_ratio
+    out["emitter_ratio_regressed"] = sess_ratio >= 3.0 or slide_ratio >= 5.0
+    regressed = regressed or out["emitter_ratio_regressed"]
     print(json.dumps(out))
     if regressed:
-        print(
-            f"WARN: TWS at {out['tws_over_aip_wall_ratio']}x "
-            "applyInPandasWithState wall (historical bound ~1.3-2.2x; "
-            "see tools/profile_tws.py)",
-            file=sys.stderr,
-        )
+        if out.get("tws_ratio_regressed"):
+            print(
+                f"WARN: TWS at {out['tws_over_aip_wall_ratio']}x "
+                "applyInPandasWithState wall (historical bound ~1.3-2.2x; "
+                "see tools/profile_tws.py)",
+                file=sys.stderr,
+            )
+        if out.get("emitter_ratio_regressed"):
+            print(
+                f"WARN: emitter overhead regressed — session/collect "
+                f"{out['session_over_count_wall_ratio']}x (bound 3.0), "
+                f"collect/sliding per-row "
+                f"{out['count_over_sliding_per_row_ratio']}x (bound 5.0)",
+                file=sys.stderr,
+            )
         sys.exit(1)
 
 

@@ -28,7 +28,7 @@ TABLES = (
 ).split()
 
 
-def main(round_no: int) -> int:
+def main(round_no: int, prefix: str = "CORRECTNESS_FULL") -> int:
     import duckdb
 
     from minibatch_spark.registry import all_oracles, all_queries
@@ -71,7 +71,7 @@ def main(round_no: int) -> int:
         ),
         "results": results,
     }
-    out = os.path.join(REPO, f"CORRECTNESS_FULL_r{round_no:02d}.json")
+    out = os.path.join(REPO, f"{prefix}_r{round_no:02d}.json")
     with open(out, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(f"\n{ok}/{len(queries)} ok -> {out}")
@@ -79,4 +79,13 @@ def main(round_no: int) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 0))
+    # second arg picks the artifact prefix — the once-per-round sf0.1
+    # exact-match run (round-6 verdict #3) writes CORRECTNESS_SF01_r{N}:
+    #   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 \
+    #     python tools/gen_correctness_full.py 7 CORRECTNESS_SF01
+    sys.exit(
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 0,
+            sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_FULL",
+        )
+    )
