@@ -84,19 +84,25 @@ def main() -> None:
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     per_query_collect: dict[str, float] = {}
+    per_query_spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best_op = best_cl = float("inf")
+        ops: list[float] = []
+        best_cl = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best_op = min(best_op, time.perf_counter() - t0)
+            ops.append(time.perf_counter() - t0)
         for _ in range(REPS):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             best_cl = min(best_cl, time.perf_counter() - t0)
             assert rows is not None
-        per_query[name] = round(best_op, 3)
+        per_query[name] = round(min(ops), 3)
+        # max/min over the reps: the co-tenant noise band around this
+        # query's min — round-over-round deltas inside a query's own
+        # spread are noise, not regressions (round-6 verdict #5)
+        per_query_spread[name] = round(max(ops) / min(ops), 2)
         per_query_collect[name] = round(best_cl, 3)
         spark.catalog.clearCache()
 
@@ -109,6 +115,7 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_spread": per_query_spread,
                 "queries_collect": per_query_collect,
                 "value_collect": round(sum(per_query_collect.values()), 3),
                 "sf": sf,

@@ -1179,7 +1179,7 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           CAST(1 AS BOOLEAN) AS hll_within_5pct,
+           CAST(1 AS BOOLEAN) AS hll_within_3rsd,
            CAST(1 AS BOOLEAN) AS pctl_within_bounds
     FROM events
     GROUP BY event_type
@@ -1195,8 +1195,17 @@ def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between a re-partition of 100 TB and a few KB per
     task. The engines' sketch internals differ, so the oracle pins what
     is portable: the exact count, plus booleans asserting the approximate
-    answers land inside their documented error bounds (HLL++ rsd=0.05;
-    percentile_approx bracketed by exact min/max)."""
+    answers land inside their documented error bounds.
+
+    The HLL bound is 3x rsd (15% at rsd=0.05), NOT 1x: rsd is the
+    sketch's relative STANDARD DEVIATION — the error exceeds 1 sigma
+    ~32% of the time by design, and the first sf0.1 full-registry gate
+    (round 7) caught precisely that: 1500 distinct users estimated as
+    1400 (6.7% error, within 1.34 sigma — a perfectly healthy sketch
+    failing an ill-posed <= 1 sigma assertion that sf0.01's lucky 0.67%
+    error had masked). Three sigma is the ~99.7% envelope a monitoring
+    contract can actually hold at every scale; percentile_approx stays
+    bracketed by exact min/max."""
     e = load_table(spark, sf_dir, "events")
     a = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
@@ -1209,7 +1218,7 @@ def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "event_type",
         "exact_users",
-        (rel_err <= F.lit(0.05)).alias("hll_within_5pct"),
+        (rel_err <= F.lit(3 * 0.05)).alias("hll_within_3rsd"),
         (
             (F.col("p50") >= F.col("vmin")) & (F.col("p50") <= F.col("vmax"))
         ).alias("pctl_within_bounds"),
