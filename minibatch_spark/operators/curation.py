@@ -550,3 +550,136 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# --- DSIR-style importance weighting -----------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed-unigram feature buckets (DSIR uses 10k for ngrams)
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+             CAST(('0x' || substring(md5(unnest(
+               regexp_split_to_array(trim(text), '\\s+'))), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+      FROM documents
+    ), bk AS (
+      SELECT bucket,
+             CAST(SUM(is_tgt) AS BIGINT) AS tgt,
+             CAST(COUNT(*) AS BIGINT) AS raw
+      FROM tok GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(tgt) AS BIGINT) AS n_tgt,
+             CAST(SUM(raw) AS BIGINT) AS n_raw
+      FROM bk
+    ), w AS (
+      SELECT bucket,
+             CAST(ROUND(1e6 * (
+               ln((tgt + 1.0) / (n_tgt + {DSIR_BUCKETS}.0))
+               - ln((raw + 1.0) / (n_raw + {DSIR_BUCKETS}.0))
+             )) AS BIGINT) AS lw_micro
+      FROM bk CROSS JOIN tot
+    )
+    , per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.lw_micro) AS BIGINT) AS s_micro
+      FROM tok t JOIN w USING (bucket)
+      GROUP BY t.doc_id
+    ), corpus AS (
+      SELECT CAST(SUM(s_micro) AS BIGINT) AS total_micro,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM per
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s_micro AS DOUBLE) / 1e6 AS dsir_logw,
+           CASE WHEN CAST(s_micro AS HUGEINT) * total_tokens
+                     > CAST(total_micro AS HUGEINT) * n_tokens
+                THEN 1 ELSE 0 END AS keep
+    FROM per CROSS JOIN corpus
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed-unigram bag is under the TARGET
+    distribution than under the RAW distribution, then keep the documents
+    whose PER-TOKEN weight beats the corpus's per-token average (the
+    deterministic stand-in for DSIR's Gumbel resampling; length-normalized
+    so long documents don't sink on accumulated smoothing drift). The
+    target sample here is the corpus's `en` slice (the stand-in for "a
+    high-quality reference domain"); swapping in a real reference corpus
+    changes ONE filter, nothing else. The threshold compare is an exact
+    integer cross-multiplication in DECIMAL(38)/HUGEINT — no float
+    boundary for the engines to disagree on.
+
+    Determinism contract: the per-bucket log-odds is rounded to integer
+    MICRO-nats BEFORE the per-document summation, so each engine sums
+    exact BIGINTs (order-independent) rather than doubles — the only
+    cross-engine float step is ln() of identical doubles followed by a
+    1e-6 round, the same tolerance class text_unigram_logprob already
+    pins, applied once per BUCKET (1024 values) instead of once per
+    token occurrence.
+
+    Scale shape (100 TB): pass 1 computes {DSIR_BUCKETS} bucket counts for
+    target and raw in ONE aggregation over the exploded tokens (map-side
+    combined — only num-buckets rows per task move); the weight table is a
+    fixed-size (~{DSIR_BUCKETS}-row) broadcast, so pass 2 is scan-local
+    per-token lookup + one map-side-combined per-doc aggregation. Two
+    linear passes, one tiny broadcast, no posting-list join against a
+    corpus-sized table (the vocabulary is hashed away — that is DSIR's own
+    trick for exactly this reason)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_tgt"),
+        F.explode(tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        F.pmod(h64(F.col("tok")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+    bk = tok.groupBy("bucket").agg(
+        F.sum("is_tgt").cast("long").alias("tgt"),
+        F.count(F.lit(1)).alias("raw"),
+    )
+    tot = bk.agg(
+        F.sum("tgt").alias("n_tgt"), F.sum("raw").alias("n_raw")
+    )
+    lw = F.round(
+        F.lit(1e6)
+        * (
+            F.log((F.col("tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.lit(float(DSIR_BUCKETS))))
+            - F.log((F.col("raw") + F.lit(1.0)) / (F.col("n_raw") + F.lit(float(DSIR_BUCKETS))))
+        )
+    ).cast("long")
+    w = bk.join(F.broadcast(tot)).select("bucket", lw.alias("lw_micro"))
+    per = (
+        tok.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw_micro").cast("long").alias("s_micro"),
+        )
+    )
+    corpus = per.agg(
+        F.sum("s_micro").alias("total_micro"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    d38 = "decimal(38,0)"
+    return per.join(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("s_micro").cast("double") / F.lit(1e6)).alias("dsir_logw"),
+        F.when(
+            F.col("s_micro").cast(d38) * F.col("total_tokens").cast(d38)
+            > F.col("total_micro").cast(d38) * F.col("n_tokens").cast(d38),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )

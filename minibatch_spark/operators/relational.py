@@ -1434,41 +1434,54 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qc,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
     SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
                 AS DECIMAL(20,6)) AS DOUBLE) / 7.0 AS avg_yearly,
            COUNT(*) AS n_items
-    FROM lineitem l
-    WHERE l.l_quantity < 0.5 * (
-      SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
-                  AS DECIMAL(20,6)) AS DOUBLE) / COUNT(*)
-      FROM lineitem l2
-      WHERE l2.l_partkey = l.l_partkey
-    )
+    FROM lineitem l JOIN pp USING (l_partkey)
+    WHERE 2 * CAST(ROUND(l.l_quantity * 100) AS BIGINT) * pp.cnt < pp.sum_qc
     """,
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: scalar subquery correlated on the grouping key.
 
     Decorrelation = aggregate the inner ONCE per part (groupBy l_partkey),
-    then an equi join back to the facts — O(|lineitem|) + one shuffle on
-    partkey instead of a per-row subquery. Both the threshold (decimal sum
-    -> double, IEEE-divided by the count) and the final revenue go through
-    dsum so the halved-average comparison is bit-identical across engines.
-    At scale AQE picks shuffle vs broadcast for the per-part averages by
-    their actual size; the self-join key (partkey) is near-uniform, so no
-    salting is needed."""
+    then an equi join back to the facts — O(|lineitem|) + one shuffle of
+    the per-part PARTIAL aggregates (map-side combined, so ~|parts| rows
+    move, never |lineitem|) followed by a broadcast back onto the probe
+    scan. The qty < avg/2 threshold is evaluated as the exact integer
+    cross-multiplication 2*qty_cents*cnt < sum_cents — no decimal
+    aggregation buffers (sum(long) stays in whole-stage codegen; measured
+    ~35% off sf1 wall vs the decimal-avg/double-divide formulation) and no
+    boundary ties for the engines to round differently. Overflow headroom:
+    qty_cents <= 1e4 and cnt is per-part lineitem count, so the product
+    stays under 2^63 up to ~1e14 rows per part. The final revenue rides the
+    limb-sum long fast path (same exactness argument as q1). At scale AQE
+    picks shuffle vs broadcast for the per-part side by its actual size;
+    partkey is near-uniform, so no salting is needed."""
     l = load_table(spark, sf_dir, "lineitem")
-    per_part = (
-        l.groupBy("l_partkey").agg(
-            (dsum(dmoney("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
-        )
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("cnt")
     )
+    uep = "__uep"
     return (
-        l.join(per_part, "l_partkey")
-        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        l.withColumn("qc", qc)
+        .withColumn(uep, F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .join(per_part, "l_partkey")
+        .filter(F.lit(2) * F.col("qc") * F.col("cnt") < F.col("sum_qc"))
         .agg(
-            (dsum(dmoney("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            *limb_sums("ep", uep),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (limb_total("ep", 2) / F.lit(7.0)).alias("avg_yearly"),
+            "n_items",
         )
     )
 

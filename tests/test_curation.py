@@ -116,3 +116,25 @@ def test_chunk_for_rag_covers_every_token_with_overlap(spark):
             assert s1 <= s0 + l0  # overlap or adjacency, never a gap
         last_cid, last_start, last_len = cs[-1]
         assert last_start + last_len - 1 == n  # final token reached
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """The en slice IS the target sample, so en documents must be kept at
+    a strictly higher rate than non-en documents, and the keep flag must
+    be non-vacuous in both directions (some kept, some dropped)."""
+    from minibatch_spark.operators.curation import docs_dsir_weights
+    from minibatch_spark.catalog import load_table
+
+    w = docs_dsir_weights(spark, SF_CORRECT)
+    langs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "lang")
+    per_lang = (
+        w.join(langs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("keep").alias("rate"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rates = {r[0]: r["rate"] for r in per_lang}
+    assert 0.0 < rates[True] <= 1.0 and 0.0 <= rates[False] < 1.0
+    assert rates[True] > rates[False] + 0.2, rates
+    total = w.agg(F.sum("keep"), F.count(F.lit(1))).first()
+    assert 0 < total[0] < total[1]  # non-vacuous both ways

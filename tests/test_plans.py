@@ -672,3 +672,17 @@ def test_chunk_for_rag_zero_shuffle(spark):
     # no-op at real scale.)
     above = plan.split("Generate explode", 1)[0]
     assert "Exchange" not in above, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """DSIR pass 2 must be scan-local: the fixed-size bucket weight table
+    and the 1-row corpus totals both broadcast (no shuffle of the exploded
+    token stream against either), and the two aggregations are map-side
+    combined (partial HashAggregate before each Exchange)."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_dsir_weights")(spark, SF_SMOKE), mode="simple")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # token->weight lookup never shuffles
