@@ -1456,9 +1456,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     move, never |lineitem|) followed by a broadcast back onto the probe
     scan. The qty < avg/2 threshold is evaluated as the exact integer
     cross-multiplication 2*qty_cents*cnt < sum_cents — no decimal
-    aggregation buffers (sum(long) stays in whole-stage codegen; measured
-    ~35% off sf1 wall vs the decimal-avg/double-divide formulation) and no
-    boundary ties for the engines to round differently. Overflow headroom:
+    aggregation buffers (sum(long) stays in whole-stage codegen) and no
+    boundary ties for the engines to round differently. Wall-clock at sf1
+    is within host noise of the decimal-avg formulation (interleaved
+    min-of-3 A/B: 3.96 vs 4.41 s — scan + broadcast-join dominate either
+    way); the rewrite's payoff is the exact threshold, the decimal-buffer
+    removal is headroom, not a measured win on this host. Overflow headroom:
     qty_cents <= 1e4 and cnt is per-part lineitem count, so the product
     stays under 2^63 up to ~1e14 rows per part. The final revenue rides the
     limb-sum long fast path (same exactness argument as q1). At scale AQE

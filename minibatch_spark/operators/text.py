@@ -1225,3 +1225,140 @@ def docs_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("t", start.cast("int"), CHUNK_TOKENS), " ")
         ).alias("chunk_hash"),
     )
+
+
+@query(
+    "docs_strip_boilerplate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(n - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s,
+             unnest(generate_series(1, greatest(n - 2, 0))) AS p
+      FROM base WHERE n >= 3
+    ), boiler AS (
+      SELECT s FROM (
+        SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s
+      ) __df WHERE df > {BOILERPLATE_DF}
+    ), cov AS (
+      SELECT sh.doc_id, unnest([sh.p, sh.p + 1, sh.p + 2]) AS cp
+      FROM sh JOIN boiler USING (s)
+    ), tokrows AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, n)) AS p
+      FROM base
+    ), kept AS (
+      SELECT tr.doc_id, tr.p, tr.tok
+      FROM tokrows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov
+        WHERE cov.doc_id = tr.doc_id AND cov.cp = tr.p
+      )
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tok,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           k.cleaned_hash
+    FROM (SELECT doc_id, n FROM base) b
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate STRIP — the transform counterpart of
+    text_boilerplate_ngrams' score: a token is boilerplate-covered when
+    ANY of the (up to 3) positional 3-grams containing it occurs in more
+    than BOILERPLATE_DF distinct documents; covered tokens are removed
+    and the document is re-emitted as (n_tok, n_kept, md5 of the kept
+    tokens in original order). This is the RefinedWeb/CCNet "strip the
+    template, keep the prose" pass — the scorer answers "how templated
+    is this doc", this operator actually produces the cleaned corpus
+    (cleaned_hash stands in for the cleaned text so the driver's
+    canonicalizer never sees an unbounded string; a fully-covered doc
+    keeps n_kept = 0 and a NULL hash rather than vanishing).
+
+    Scale shape (100 TB): positional 3-gram hashes are built array-side
+    with the shared zip_with+slice recipe (never an outer derived
+    expression inside a lambda — the O(n²) HOF trap, mirrored in the
+    oracle via list_transform over a materialized t). Document frequency
+    is ONE map-side-combined two-phase distinct aggregation on the
+    8-byte shingle hash; the boiler set (df > {BOILERPLATE_DF}) is by
+    construction ≤ |shingles|/{BOILERPLATE_DF} and skew-free, so AQE
+    broadcasts it in the common case. Covered positions stay 16-byte
+    (doc_id, pos) rows and the strip itself is a LEFT ANTI hash join on
+    (doc_id, pos) — O(1) per token, deliberately NOT an
+    array_contains(cov, i) lambda, which would be O(|cov|) per token and
+    re-blow up on the 100k-word giant-doc corpus the skew sweep guards
+    (same discipline as the dedup_containment_pairs giant-row fix). The
+    final per-doc rebuild is a map-side-combined collect_list keyed by
+    doc_id; covered-position rows are never deduplicated (anti join is
+    multiplicity-blind — one shuffle saved).
+
+    Internal keys are xxhash64 (never surfaced; the oracle joins raw
+    gram strings), same stance as text_boilerplate_ngrams."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    # index-aligned positional 3-grams: grams[i] covers tokens i..i+2
+    # (0-based); the zip_with null-pad leaves the 2-token tail null so
+    # posexplode keeps positions aligned and the null filter drops them.
+    grams = F.col("t")
+    for j in range(1, 3):
+        shifted = F.slice(
+            F.col("t"), j + 1, F.greatest(F.col("n") - j, F.lit(0))
+        )
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    possh = (
+        base.filter(F.col("n") >= 3)
+        .select("doc_id", F.posexplode(grams).alias("p", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "p", F.xxhash64("g").alias("shh"))
+    )
+    boiler = (
+        possh.groupBy("shh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > BOILERPLATE_DF)
+        .select("shh")
+    )
+    cov = possh.join(boiler, "shh").select(
+        "doc_id", F.explode(F.sequence("p", F.col("p") + 2)).alias("cp")
+    )
+    tokrows = base.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    )
+    kept = tokrows.join(
+        cov,
+        (tokrows["doc_id"] == cov["doc_id"]) & (tokrows["p"] == cov["cp"]),
+        "left_anti",
+    )
+    per = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("long").alias("n_tok"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "cleaned_hash",
+        )
+    )

@@ -138,3 +138,53 @@ def test_dsir_weights_favor_target_language(spark):
     assert rates[True] > rates[False] + 0.2, rates
     total = w.agg(F.sum("keep"), F.count(F.lit(1))).first()
     assert 0 < total[0] < total[1]  # non-vacuous both ways
+
+
+def test_strip_boilerplate_planted_template(spark, tmp_path):
+    """Planted corpus: a 5-token template prefix shared by 6 docs (df of
+    its 3 internal grams = 6 > BOILERPLATE_DF) is stripped exactly; a
+    unique doc is untouched (hash = md5 of its own tokens); a doc that IS
+    the template alone comes back n_kept=0 with a NULL hash instead of
+    vanishing."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minibatch_spark.operators.text import docs_strip_boilerplate
+
+    tmpl = "subscribe to our newsletter today"
+    bodies = [
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+        "iota kappa lam mu",
+        "nu xi omicron pi",
+        "rho sigma tau upsilon",
+    ]
+    texts = [f"{tmpl} {b}" for b in bodies]
+    texts.append(tmpl)  # fully-templated doc
+    texts.append("completely unique prose with no template at all")
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in docs_strip_boilerplate(spark, sf).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for i, b in enumerate(bodies):  # template prefix stripped, body kept
+        assert rows[i]["n_tok"] == 9 and rows[i]["n_kept"] == 4, rows[i]
+        assert rows[i]["cleaned_hash"] == md5(b), (i, b)
+    full = rows[len(bodies)]  # the template-only doc: fully stripped
+    assert full["n_kept"] == 0 and full["cleaned_hash"] is None
+    uniq = rows[len(bodies) + 1]  # untouched doc
+    assert uniq["n_kept"] == uniq["n_tok"] == 8
+    assert uniq["cleaned_hash"] == md5(texts[-1])

@@ -686,3 +686,15 @@ def test_dsir_weight_table_broadcasts(spark):
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # token->weight lookup never shuffles
+
+
+def test_strip_boilerplate_anti_join_no_cartesian(spark):
+    """The strip is a row-level ANTI join on (doc_id, pos) — O(1) per
+    token — never an array_contains lambda (O(|cov|) per token, the
+    giant-doc trap) and never a Cartesian; the boiler-set attach is an
+    equi join on the 8-byte shingle hash."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_strip_boilerplate")(spark, SF_SMOKE), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
