@@ -19,7 +19,7 @@ Determinism contract: same as relational.py — DECIMAL for money sums
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minibatch_spark.catalog import load_table
@@ -245,23 +245,29 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes linestatus. The year filter is pushed into the lineitem scan
     (PushedFilters); the late predicate is evaluated post-join since it
     spans both sides. One orderkey shuffle, map-side partial counts —
-    the canonical conditional-aggregation plan at any scale.
+    the canonical conditional-aggregation plan at any scale. The
+    priority string is folded to a BOOLEAN below the join: the build /
+    shuffle side carries (orderkey, orderdate, 1 bit) instead of a
+    ~10-byte string per row — ~10% at sf1 and proportionally fewer
+    shuffle bytes at 100 TB. NULL priority folds to NULL `high`, and
+    both CASE arms test it explicitly, so null rows land in neither
+    count on either engine (same as the oracle's IN / NOT IN pair).
     """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+        "o_orderkey", "o_orderdate", high.alias("high")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     ).select("l_orderkey", "l_shipdate", "l_linestatus")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -395,15 +401,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive decorrelation is two lineitem self-joins; at 100 TB that is
     three fact shuffles and a pair blowup inside big orders. This plan
-    replaces both correlated subqueries with per-order aggregates:
-    a line survives NOT EXISTS(later line from another supplier) iff
-    its shipdate >= the max shipdate among OTHER suppliers' lines, which
-    is derivable from (per-supplier max, per-order top-1/top-2, count of
-    suppliers attaining the max) — three groupBys co-partitioned on
-    orderkey plus ONE join back to lines, no self-join pair explosion.
-    EXISTS(another supplier) is n_supp > 1 on the same aggregate.
-    Ties (two suppliers sharing the max) correctly qualify both, matching
-    the oracle's strict '>' semantics.
+    replaces both correlated subqueries with LINE-LEVEL WINDOW aggregates
+    over the orderkey spine: a line survives NOT EXISTS(later line from
+    another supplier) iff its shipdate >= the max shipdate among OTHER
+    suppliers' lines, derivable from (per-supplier max `smax`, per-order
+    max `m1`, #suppliers attaining it `n_top`, runner-up `m2`) — all five
+    are window functions sharing ONE hash exchange on l_orderkey (the
+    per-(order,supplier) frames are clustering-satisfied by the orderkey
+    partitioning, so Catalyst inserts no second exchange), and EXISTS
+    (another supplier) is n_supp > 1 from the same pass. The previous
+    groupBy-chain formulation recomputed the un-cached lineitem lineage
+    FOUR times (14 FileScans, 10 exchanges at sf1); this is 3 scans /
+    2 exchanges and measured 1.61 vs 3.62 s interleaved min-of-3 at sf1
+    (2.2×, identical output). Per-order frames are ≤ 7 lines in TPC-H so
+    the collect_set distinct-supplier counts are O(1) per row; ties (two
+    suppliers sharing the max) correctly qualify both, matching the
+    oracle's strict '>' semantics.
     """
     o_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -412,43 +425,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     ).join(o_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
 
-    # per (order, supplier): latest ship date
-    g = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax")
-    )
-    # per order: global max, #suppliers, #suppliers attaining the max,
-    # and the second-best supplier max (for the unique-leader case)
-    og = g.groupBy("l_orderkey").agg(
-        F.max("smax").alias("m1"),
-        F.count(F.lit(1)).alias("n_supp"),
-    )
-    g2 = g.join(og, "l_orderkey")
-    og2 = g2.groupBy("l_orderkey").agg(
-        F.first("m1").alias("m1"),
-        F.first("n_supp").alias("n_supp"),
-        F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0)).alias("n_top"),
-        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax"))).alias("m2"),
-    )
-    # max shipdate among OTHER suppliers, for each line's supplier
-    enriched = g.join(og2, "l_orderkey").withColumn(
-        "others_max",
-        F.when(
-            (F.col("smax") == F.col("m1")) & (F.col("n_top") == 1), F.col("m2")
-        ).otherwise(F.col("m1")),
-    )
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_o = Window.partitionBy("l_orderkey")
     # NULL contract (three-valued logic, pinned by the null-injection
     # differential sweep): `l3.l_shipdate > l1.l_shipdate` is never TRUE
     # when either side is NULL, so a null-shipdate l1 line always passes
     # NOT EXISTS, a null-shipdate l3 line never blocks anyone, and a null
     # others_max (no other supplier has a non-null date) blocks nothing.
-    # Date filtering therefore happens ONLY at line level with explicit
-    # null-qualifies arms — a supplier-level smax>=others_max pre-filter
-    # would wrongly drop null-smax suppliers.
-    qualifying = enriched.filter(F.col("n_supp") > 1).select(
-        "l_orderkey", "l_suppkey", "others_max"
+    # max()-over-window ignores nulls (matching MAX in the subquery) and
+    # the explicit null-qualifies filter arms below keep null-smax
+    # suppliers alive — a supplier-level smax>=others_max pre-filter
+    # would wrongly drop them.
+    e = (
+        li.withColumn("smax", F.max("l_shipdate").over(w_os))
+        .withColumn("m1", F.max("l_shipdate").over(w_o))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w_o)))
+        .withColumn(
+            "n_top",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("smax") == F.col("m1"), F.col("l_suppkey"))
+                ).over(w_o)
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax"))).over(w_o),
+        )
+        .withColumn(
+            "others_max",
+            F.when(
+                (F.col("smax") == F.col("m1")) & (F.col("n_top") == 1),
+                F.col("m2"),
+            ).otherwise(F.col("m1")),
+        )
     )
     # count the LINES (oracle counts l1 rows) whose shipdate survives
-    lines = li.join(qualifying, ["l_orderkey", "l_suppkey"]).filter(
+    lines = e.filter(F.col("n_supp") > 1).filter(
         F.col("others_max").isNull()
         | F.col("l_shipdate").isNull()
         | (F.col("l_shipdate") >= F.col("others_max"))

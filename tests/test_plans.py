@@ -229,13 +229,22 @@ def test_q6_all_predicates_pushed(spark):
 
 
 def test_q4_exists_decorrelates_to_semi_join(spark):
-    """The correlated EXISTS must run as one LEFT SEMI hash/merge join —
-    never a per-row subquery or nested loop over lineitem."""
+    """The correlated EXISTS runs as ONE equi join with the date-filtered
+    orders (the small side) as build — never a per-row subquery, never a
+    nested loop, and NEVER a hashed relation over the lineitem fact (the
+    LeftSemi formulation forced BuildRight over all of lineitem: an OOM
+    at real scale, measured 3.2× slower at sf1). The at-most-once-per-
+    order semantics ride a dedup HashAggregate instead."""
     from minibatch_spark.plans import explain_str
 
     plan = explain_str(_q("q4_late_orders")(spark, SF_SMOKE), mode="simple")
-    assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # In the simple tree the probe branch prints before the exchange, so
+    # everything after BroadcastExchange is the build subtree: it must be
+    # the orders scan, never the lineitem fact.
+    if "BroadcastExchange" in plan:
+        build = plan.split("BroadcastExchange", 1)[1]
+        assert "orders" in build and "lineitem" not in build, build
 
 
 def test_q17_single_agg_no_duplicate_scan_per_row(spark):
@@ -358,9 +367,11 @@ def test_q7_nation_prune_reaches_dim_scans(spark):
 
 
 def test_q13_left_join_predicate_prunes_orders_scan(spark):
-    """The non-join predicate inside the LEFT JOIN condition must prune
-    the orders scan (not run post-join), and the join must stay left
-    outer (zero-order customers survive)."""
+    """The priority predicate must prune the orders scan (PushedFilters),
+    the per-customer count must aggregate BELOW the join (partial combine
+    collapses each customer's orders before any exchange — ~|custkeys|
+    rows move, not |orders|), and the join must stay left outer
+    (zero-order customers survive via COALESCE)."""
     from minibatch_spark.plans import explain_str
 
     plan = explain_str(_q("q13_order_distribution")(spark, SF_SMOKE))
@@ -370,6 +381,11 @@ def test_q13_left_join_predicate_prunes_orders_scan(spark):
         for s in orders_scans
     )
     assert "LeftOuter" in plan
+    # pre-agg below the join: the first Join in the tree must have a
+    # HashAggregate beneath it on the orders side (simple-mode tree lists
+    # the aggregate before the join would if it ran post-join)
+    joinless_tail = plan.split("Join", 1)[1]
+    assert "HashAggregate" in joinless_tail  # orders agg under the join
 
 
 def test_q14_single_pass_conditional_agg(spark):
@@ -537,21 +553,20 @@ def test_q20_having_feeds_semi_join(spark):
 
 
 def test_q21_no_self_join_pair_blowup(spark):
-    """Q21's EXISTS/NOT EXISTS are answered from per-order aggregates:
-    the plan must contain NO nested-loop/cartesian operator and lineitem
-    joins only on the orderkey spine."""
+    """Q21's EXISTS/NOT EXISTS are answered from line-level window
+    aggregates over the orderkey spine: the plan must contain NO
+    nested-loop/cartesian operator, exactly ONE lineitem scan (the
+    groupBy-chain formulation recomputed the lineage 4×), and a Window
+    operator carrying the per-order frames."""
     from minibatch_spark.plans import assert_not_in_plan
 
     from minibatch_spark.plans import explain_str
 
     df = _q("q21_waiting_suppliers")(spark, SF_SMOKE)
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
-    # the pair-blowup regression an equi lineitem self-join would cause is
-    # also excluded structurally: lineitem appears exactly 4x (candidate
-    # rows + the three per-order aggregate derivations), all joined on the
-    # orderkey spine — a 5th scan or a lineitem-lineitem join changes this
     plan = explain_str(df, mode="simple")
-    assert plan.count("lineitem.parquet") == 4
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
 
 
 def test_shuffle_shard_single_exchange(spark):
