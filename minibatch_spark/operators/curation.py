@@ -113,6 +113,133 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_dedup_substrings",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest({_SPAN_SQL_EXPR}) AS span,
+             unnest(generate_series(1, greatest(n - {SPAN_K - 1}, 0))) AS p
+      FROM tk
+    ), rep AS (
+      SELECT span, MIN(doc_id * 4294967296 + p) AS canon
+      FROM occ GROUP BY span HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT occ.doc_id,
+             unnest(generate_series(occ.p, occ.p + {SPAN_K - 1})) AS cp
+      FROM occ JOIN rep USING (span)
+      WHERE occ.doc_id * 4294967296 + occ.p <> rep.canon
+    ), tokrows AS (
+      SELECT doc_id, unnest(tk) AS tok, unnest(generate_series(1, n)) AS p
+      FROM tk
+    ), kept AS (
+      SELECT tr.doc_id, tr.p, tr.tok FROM tokrows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov WHERE cov.doc_id = tr.doc_id AND cov.cp = tr.p
+      )
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tok,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           k.cleaned_hash
+    FROM (SELECT doc_id, n FROM tk) t
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (the removal pass of Lee et al.
+    2022, whose detection half is docs_repeated_spans): every positional
+    SPAN_K(=8)-token span occurring >= 2 times in the corpus — across
+    docs OR within one — keeps exactly its CANONICAL occurrence (the
+    globally smallest (doc_id, position), encoded as the order-preserving
+    long doc_id*2^32+p) and every other occurrence's token positions are
+    removed. Docs re-emit as (n_tok, n_kept, md5 of kept tokens in
+    original order): the cleaned corpus, with the duplicated prose
+    surviving exactly once, NULL hash for a fully-deduplicated doc.
+
+    Scale shape (100 TB): spans are built array-side with the shared
+    zip_with recipe (spans_of — never an outer expression inside a HOF
+    lambda) and carried as 8-byte xxhash64 keys; the repeated-span
+    aggregate (count, min-canonical) is ONE map-side-combined exchange on
+    the span hash; overlapping occurrences make cov multiplicity-heavy
+    but the strip is a LEFT ANTI join on (doc_id, pos) — multiplicity-
+    blind and O(1) per token, deliberately NOT an array_contains lambda
+    (the giant-doc trap, same discipline as docs_strip_boilerplate). The
+    canonical-occurrence encoding doc_id*2^32+p is exact while p < 2^32
+    tokens/doc and doc_id < 2^31 — both enforced by the corpus contract
+    (SCALE.md) — and is the same arithmetic on both engines, so no
+    tie-breaking divergence. Intra-doc repeats (p=1 vs p=10 of the same
+    span) dedup the same way cross-doc ones do; spans never collide
+    across the k-1 null-padded tail because concat propagates null and
+    spans_of drops them."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n")
+    )
+    occ = (
+        base.select(
+            "doc_id", F.posexplode(spans_of(F.col("tk"))).alias("p0", "span")
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.xxhash64("span").alias("sh"),
+        )
+        .withColumn("ek", F.col("doc_id") * F.lit(4294967296) + F.col("p"))
+    )
+    rep = (
+        occ.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("ek").alias("canon"))
+        .filter(F.col("cnt") >= 2)
+        .select("sh", "canon")
+    )
+    cov = (
+        occ.join(rep, "sh")
+        .filter(F.col("ek") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence("p", F.col("p") + SPAN_K - 1)).alias("cp"),
+        )
+    )
+    tokrows = base.select(
+        "doc_id", F.posexplode("tk").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tokrows.join(
+        cov,
+        (tokrows["doc_id"] == cov["doc_id"]) & (tokrows["p"] == cov["cp"]),
+        "left_anti",
+    )
+    per = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("long").alias("n_tok"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "cleaned_hash",
+        )
+    )
+
+
+@query(
     "docs_shuffle_shard",
     oracle=f"""
     WITH h AS (

@@ -188,3 +188,53 @@ def test_strip_boilerplate_planted_template(spark, tmp_path):
     uniq = rows[len(bodies) + 1]  # untouched doc
     assert uniq["n_kept"] == uniq["n_tok"] == 8
     assert uniq["cleaned_hash"] == md5(texts[-1])
+
+
+def test_dedup_substrings_canonical_kept(spark, tmp_path):
+    """Planted corpus: a 10-token sentence shared by docs 0 and 1 — doc 0
+    holds the canonical (smallest doc_id*2^32+p) occurrence and keeps
+    everything; doc 1 loses exactly the 10 shared tokens. Doc 2 repeats
+    one 8-token span INTRA-doc and keeps only the first occurrence. Doc 3
+    is unique and untouched; doc 4 IS the shared sentence alone and is
+    fully removed (n_kept=0, NULL hash) since doc 0 owns the canonical."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minibatch_spark.operators.curation import docs_dedup_substrings
+
+    sent = "quick brown foxes vault over lazy dogs before dawn breaks"  # 10 tok
+    span8 = "one two three four five six seven eight"
+    texts = [
+        f"{sent} alpha beta",            # doc 0: canonical, untouched
+        f"gamma delta {sent}",           # doc 1: loses the 10 shared tokens
+        f"{span8} mid {span8}",          # doc 2: intra-doc repeat, keeps first
+        "totally unique prose with no repeated span anywhere at all",
+        sent,                            # doc 4: fully covered
+    ]
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in docs_dedup_substrings(spark, sf).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0]["n_kept"] == rows[0]["n_tok"] == 12
+    assert rows[0]["cleaned_hash"] == md5(texts[0])
+    assert rows[1]["n_tok"] == 12 and rows[1]["n_kept"] == 2
+    assert rows[1]["cleaned_hash"] == md5("gamma delta")
+    assert rows[2]["n_tok"] == 17 and rows[2]["n_kept"] == 9
+    assert rows[2]["cleaned_hash"] == md5(f"{span8} mid")
+    assert rows[3]["n_kept"] == rows[3]["n_tok"] == 10
+    assert rows[3]["cleaned_hash"] == md5(texts[3])
+    assert rows[4]["n_kept"] == 0 and rows[4]["cleaned_hash"] is None

@@ -716,3 +716,15 @@ def test_strip_boilerplate_anti_join_no_cartesian(spark):
     plan = explain_str(_q("docs_strip_boilerplate")(spark, SF_SMOKE), mode="simple")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dedup_substrings_anti_join_no_cartesian(spark):
+    """The removal is a row-level ANTI join on (doc_id, pos) — O(1) per
+    token, multiplicity-blind over the overlapping-coverage rows — never
+    an array_contains lambda and never a Cartesian; the repeated-span
+    attach is an equi join on the 8-byte span hash."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_dedup_substrings")(spark, SF_SMOKE), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
