@@ -430,19 +430,30 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join preserving customers with zero orders."""
+    """LEFT OUTER join preserving customers with zero orders.
+
+    Pre-aggregated below the join (the q13 transform): LeftOuter forces
+    BuildRight, so joining raw orders would hash O(fact) rows; grouping
+    orders per custkey first bounds the build side by customer
+    cardinality AND turns the join 1:≤1, so no post-join re-aggregation
+    is needed (c_custkey is the customer PK)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dmoney("o_totalprice")), F.lit(0).cast(DEC_MONEY))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("sum_total"),
+            F.count("o_orderkey").alias("_n"),
+            F.sum(dmoney("o_totalprice")).alias("_s"),
         )
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("_s"), F.lit(0).cast(DEC_MONEY))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("sum_total"),
     )
 
 
@@ -459,9 +470,17 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — the engine-native EXISTS. No row multiplication,
-    right side reduced to its join key before the probe."""
+    right side reduced to its DISTINCT join key before the probe: LeftSemi
+    forces BuildRight, so without the distinct the hashed relation is
+    O(matching fact rows); with it the build side is bounded by customer
+    cardinality at any data size (broadcast_audit forced-build class)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+        .distinct()
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_mktsegment"
     )
@@ -481,9 +500,17 @@ def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — engine-native NOT EXISTS. The right side is
     pre-filtered (orders over 300k) so the result is non-empty at every
-    test SF — a 0-row result would vacuously match any broken plan."""
+    test SF — a 0-row result would vacuously match any broken plan.
+    The build side (LeftAnti forces BuildRight) is reduced to DISTINCT
+    custkeys, bounding the hashed relation by customer cardinality
+    instead of fact row count."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -745,7 +772,11 @@ def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "click").select("user_id")
-    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    # distinct BELOW the intersect: INTERSECT plans as LeftSemi with
+    # forced BuildRight, so the pre-distinct bounds the hashed relation
+    # by user cardinality instead of purchase-event count (set semantics
+    # unchanged — intersect dedups its output anyway).
+    b = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return a.intersect(b)
 
 
@@ -763,8 +794,14 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unfiltered EXCEPT was vacuously 0 rows)."""
     e = load_table(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "view").select("user_id")
-    b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 90)).select(
-        "user_id"
+    # distinct BELOW the subtract: EXCEPT plans as LeftAnti with forced
+    # BuildRight; the pre-distinct bounds the hashed relation by user
+    # cardinality instead of matching-event count (set semantics
+    # unchanged — subtract dedups its output anyway).
+    b = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
     )
     # subtract == SQL EXCEPT (set semantics): drop a's rows present in b at
     # all, then distinct — not exceptAll's multiset difference
@@ -1542,9 +1579,14 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(dmoney("c_acctbal")) / F.count(F.lit(1))).alias("thr")
         )
     )
-    recent = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= _ts("1999-01-01")
-    ).select("o_custkey")
+    # distinct custkeys: LeftAnti forces BuildRight, so the hashed
+    # relation is bounded by customer cardinality, not recent-order count.
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         c.join(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("thr"))

@@ -728,3 +728,38 @@ def test_dedup_substrings_anti_join_no_cartesian(spark):
     plan = explain_str(_q("docs_dedup_substrings")(spark, SF_SMOKE), mode="simple")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_forced_build_sides_are_shrunk(spark):
+    """Forced-build-side joins (semi/anti/outer — AQE cannot swap sides)
+    must not broadcast a RAW fact scan: the q4 bug class, where a narrow
+    fact projection slips under the 64 MB threshold at test scale but is
+    O(fact rows) at 100 TB. Each fixed query's build subtree must contain
+    a shrinker (distinct / pre-aggregate) below the BroadcastExchange,
+    bounding the hashed relation by key cardinality. Reuses the
+    tools/broadcast_audit.py classifier so the test and the per-round
+    artifact cannot drift apart."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from minibatch_spark.plans import explain_str
+    from tools.broadcast_audit import ADJUDICATED, audit_plan
+
+    fixed = [
+        "join_semi_customers",
+        "join_anti_customers",
+        "join_left_order_counts",
+        "set_intersect_users",
+        "set_except_users",
+        "q22_dormant_value",
+        "q21_waiting_suppliers",  # adjudicated: build key is the orders PK
+    ]
+    for name in fixed:
+        plan = explain_str(_q(name)(spark, SF_SMOKE), mode="simple")
+        for fact, join, head, forced in audit_plan(plan):
+            assert not forced or (name, fact) in ADJUDICATED, (
+                name,
+                fact,
+                join,
+                head,
+            )
