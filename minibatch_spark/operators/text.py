@@ -17,6 +17,7 @@ from minibatch_spark.catalog import fanout_repartition, load_table, spread
 from minibatch_spark.operators.dedup import (
     _shingle_select as _dedup_shingle_select,
 )
+from minibatch_spark.operators.dedup import h64 as _h64
 from minibatch_spark.operators.dedup import tokens
 from minibatch_spark.registry import query
 
@@ -1361,4 +1362,109 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
             "cleaned_hash",
         )
+    )
+
+
+# fastText-style hashed-n-gram linear classifier (Joulin et al. 2016,
+# "Bag of Tricks for Efficient Text Classification") — the quality-filter
+# inference shape of CCNet/DCLM-class curation pipelines. Bucket count is
+# small here so the DuckDB oracle can replay the whole model; production
+# fastText uses ~2M buckets, which changes nothing structurally (the model
+# stays a broadcast-size table: 2M rows x 12 bytes ~ 24 MB).
+CLS_BUCKETS = 1024
+_CLS_WSQL = f"""
+    SELECT b,
+           CAST(('0x' || substring(md5('w:' || CAST(b AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2001 - 1000 AS w
+    FROM (SELECT unnest(range(0, {CLS_BUCKETS})) AS b)
+"""
+
+
+@query(
+    "text_classifier_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             COALESCE(regexp_split_to_array(trim(text), '\\s+'), []) AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               t,
+               list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])
+             )) AS f
+      FROM toks
+    ), wt AS ({_CLS_WSQL}
+    ), fb AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+               % {CLS_BUCKETS} AS b
+      FROM feats
+    )
+    SELECT fb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w) AS BIGINT) AS score_milli,
+           ROUND(CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)), 6) AS score,
+           CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS keep
+    FROM fb JOIN wt ON fb.b = wt.b
+    GROUP BY fb.doc_id
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE over documents: hashed
+    unigram+bigram features, a broadcast weight table, mean-of-weights
+    score with a sign threshold.
+
+    The weights here are a deterministic md5-derived stand-in (so the
+    DuckDB oracle replays the entire model bit-for-bit); a trained model
+    drops in as any (bucket, w) DataFrame without touching the plan.
+
+    100 TB design: the model is the BROADCAST side (bounded by bucket
+    count, never by corpus size), feature hashing is whole-stage-codegen
+    JVM work, and the exploded feature stream is collapsed by the PARTIAL
+    aggregate map-side — the one exchange moves ~1 row per document, not
+    one per token. Weights stay integer milli-units end-to-end so the sum
+    is exact and order-independent (no float-accumulation drift between
+    engines); the single double division happens once per document at the
+    end. Plan-guarded: BroadcastHashJoin + exactly one shuffle exchange.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id",
+        F.coalesce(
+            tokens("text"), F.array().cast("array<string>")
+        ).alias("t"),
+    )
+    t = F.col("t")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = staged.select("doc_id", F.explode(F.concat(t, bigrams)).alias("f"))
+    fb = feats.select(
+        "doc_id", F.pmod(_h64(F.col("f")), F.lit(CLS_BUCKETS)).alias("b")
+    )
+    wt = spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                _h64(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).alias("w"),
+    )
+    joined = fb.join(F.broadcast(wt), "b")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("w").cast("long").alias("score_milli"),
+        F.round(
+            F.sum("w").cast("double") / (F.lit(1000.0) * F.count(F.lit(1))), 6
+        ).alias("score"),
+        F.when(F.sum("w") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )

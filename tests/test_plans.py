@@ -763,3 +763,18 @@ def test_forced_build_sides_are_shrunk(spark):
                 join,
                 head,
             )
+
+
+def test_classifier_score_broadcast_model_one_exchange(spark):
+    """The classifier's model table is the BROADCAST side and the exploded
+    feature stream is collapsed by the partial aggregate map-side — the one
+    hash exchange moves ~1 row per document, not one per token (spread()'s
+    RoundRobin repartition is testdata-only, a no-op at scale)."""
+    import re
+
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("text_classifier_score")(spark, SF_SMOKE), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "partial_sum" in plan, plan
