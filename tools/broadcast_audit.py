@@ -91,6 +91,16 @@ def parent_join(lines, i):
     return ""
 
 
+def _subtree(lines, i):
+    base = indent_of(lines[i])
+    out = []
+    for nxt in lines[i + 1 :]:
+        if nxt.strip() and indent_of(nxt) <= base:
+            break
+        out.append(nxt)
+    return out
+
+
 def audit_plan(plan: str):
     """Yield (fact, join, head, forced) for every BroadcastExchange whose
     subtree scans a fact with no shrinking operator in between."""
@@ -98,12 +108,7 @@ def audit_plan(plan: str):
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
-        base = indent_of(line)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if nxt.strip() and indent_of(nxt) <= base:
-                break
-            subtree.append(nxt)
+        subtree = _subtree(lines, i)
         body = "\n".join(subtree)
         if SHRINKERS.search(body):
             continue
@@ -113,6 +118,28 @@ def audit_plan(plan: str):
             if f"{fact}.parquet" in body:
                 head = subtree[0].strip() if subtree else ""
                 yield fact, join, head[:120], forced
+
+
+def audit_single_partition(plan: str):
+    """Yield (fact, head) for every `Exchange SinglePartition` whose
+    subtree scans a fact with NO shrinker below it — the serialize-
+    everything collapse class: a global sort/window/agg placed directly
+    over raw fact rows funnels the entire table through one task at any
+    scale. A SinglePartition exchange ABOVE an aggregate is the normal
+    1-row/|V|-row global-total shape (all 20 current occurrences) and is
+    not flagged."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        subtree = _subtree(lines, i)
+        body = "\n".join(subtree)
+        if SHRINKERS.search(body):
+            continue
+        for fact in FACTS:
+            if f"{fact}.parquet" in body:
+                head = subtree[0].strip() if subtree else ""
+                yield fact, head[:120]
 
 
 def main(sf_dir: str) -> int:
@@ -140,6 +167,10 @@ def main(sf_dir: str) -> int:
                 flagged.append(row)
             else:
                 info.append(row)
+        for fact, head in audit_single_partition(plan):
+            flagged.append({"query": name, "table": fact,
+                            "join": "Exchange SinglePartition",
+                            "subtree_head": head})
     print(json.dumps({
         "metric": "broadcast_fact_audit",
         "sf_dir": sf_dir,
