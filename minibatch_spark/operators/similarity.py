@@ -797,6 +797,16 @@ def _coarse_quantizer(
         e.select("vec_id", as_double("embedding").alias("ve")),
         f"{stage_prefix}-vec",
     )
+    return v_df, train_quantizer(v_df, k)
+
+
+def train_quantizer(v_df: DataFrame, k: int) -> DataFrame:
+    """One-step-Lloyd refined (cid, cv) centroid table from the k
+    lowest-vec_id seeds of a (vec_id, ve) frame — every stage engine-
+    replayable (the SQL twin is _sem_cells_sql). Pass a STAGED frame:
+    the seed pick, assignment, and per-dim means each read it once.
+    Shared by _coarse_quantizer (whole-corpus path) and IvfIndexStore
+    (trains on the build shard, freezes for appends)."""
     from pyspark.sql import Window
 
     c0 = (
@@ -810,7 +820,7 @@ def _coarse_quantizer(
     )
     cell0 = v_df.join(_assign_cells(v_df, c0), "vec_id")
     cexp = cell0.select("cell", F.posexplode("ve").alias("pos", "val"))
-    c1 = (
+    return (
         cexp.groupBy("cell", "pos")
         .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c"))
         .groupBy("cell")
@@ -822,7 +832,6 @@ def _coarse_quantizer(
         )
         .select(F.col("cell").alias("cid"), "cv")
     )
-    return v_df, c1
 
 
 def _coarse_cells(

@@ -44,6 +44,7 @@ def _load_all() -> None:
         curation,
         dedup,
         incremental,
+        ivf_store,
         multimodal,
         relational,
         similarity,
