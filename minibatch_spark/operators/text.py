@@ -696,6 +696,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     — still executor-resident) and re-aggregate per doc. The corpus
     total is a 1-row broadcast. At 100 TB a real LM table replaces
     `cnt` and NOTHING else changes — that is the point of the shape."""
+    return _doc_nll(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= 5.0, 1).otherwise(0).alias("lm_ok"),
+    )
+
+
+def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document (doc_id, n_tokens, avg_nll) under the corpus's own
+    unigram model — the scoring pass shared by text_unigram_logprob and
+    text_ccnet_buckets. avg_nll is rounded to 6dp, the cross-engine
+    float contract every consumer compares against."""
     d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -710,8 +723,76 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(nll, 6).alias("avg_nll"),
-            F.when(F.round(nll, 6) <= 5.0, 1).otherwise(0).alias("lm_ok"),
         )
+    )
+
+
+# The per-doc unigram-NLL CTE chain shared by the text_ccnet_buckets
+# oracle (mirrors _doc_nll exactly).
+_NLL_SQL = """tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt
+    ), nll AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(-SUM(log2(CAST(c.cnt AS DOUBLE)
+                             / CAST(tot.n_total AS DOUBLE)))
+                   / COUNT(*), 6) AS avg_nll
+      FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN tot
+      GROUP BY t.doc_id
+    )"""
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH {_NLL_SQL}, cuts AS (
+      SELECT ROUND(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS c1,
+             ROUND(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS c2
+      FROM nll
+    )
+    SELECT doc_id, n_tokens, avg_nll,
+           CASE WHEN avg_nll <= c1 THEN 'head'
+                WHEN avg_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll CROSS JOIN cuts
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its LM score and cut the corpus into equal-mass head /
+    middle / tail thirds — the standard curation knob (train on head,
+    sample middle, drop or down-weight tail).
+
+    The cuts are EXACT interpolated terciles (F.percentile ↔ DuckDB
+    quantile_cont, the agg_percentile_collect pairing) over the 6dp-
+    rounded per-doc scores, computed as a 1-row aggregate and broadcast
+    back onto the corpus — the uncorrelated-scalar-subquery shape (q22),
+    never a global sort or NTILE over the full corpus (which would
+    funnel every row through one partition). The scored frame is staged
+    once and read twice (cuts + labeling), so the unigram pipeline runs
+    once. At 100 TB the exact percentile's all-to-one step reduces
+    map-side to per-partition sorted runs; swap approx_percentile in if
+    the score distribution ever needs sketching."""
+    from minibatch_spark.catalog import stage
+
+    nll = stage(_doc_nll(spark, sf_dir), "ccnet-nll")
+    cuts = nll.agg(
+        F.round(F.percentile("avg_nll", 1.0 / 3), 6).alias("c1"),
+        F.round(F.percentile("avg_nll", 2.0 / 3), 6).alias("c2"),
+    )
+    return nll.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("c1"), "head")
+        .when(F.col("avg_nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 
