@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minibatch_spark.catalog import fanout_repartition, load_table, spread
+from minibatch_spark.catalog import fanout_repartition, load_table, spread, stage
 from minibatch_spark.operators.dedup import (
     _shingle_select as _dedup_shingle_select,
 )
@@ -1548,4 +1548,129 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("double") / (F.lit(1000.0) * F.count(F.lit(1))), 6
         ).alias("score"),
         F.when(F.sum("w") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+BPE_MERGES = 6  # fixed merge count so the oracle unrolls finitely — the
+#                 emb_semantic_dedup_trained Lloyd-unroll trick applied
+#                 to tokenizer training
+
+
+def _bpe_oracle(m: int = BPE_MERGES) -> str:
+    """DuckDB replay of the FULL BPE training loop, merge by merge: each
+    iteration's pair counts, argmax pick (ties to the lexicographically
+    smallest pair), and boundary-safe two-pass literal replace unroll
+    into one CTE chain — a hash match proves every merge decision, not
+    just the last state."""
+    blocks = [
+        r"""w0 AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+             ' ' || regexp_replace(tok, '(.)', '\1 ', 'g') AS sym
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    )"""
+    ]
+    for i in range(1, m + 1):
+        blocks.append(f"""p{i} AS (
+      SELECT pr AS pair, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(arr)),
+                                     j -> arr[j] || ' ' || arr[j+1])) AS pr
+        FROM (SELECT freq, string_split(trim(sym), ' ') AS arr FROM w{i-1})
+      ) GROUP BY pr
+    ), b{i} AS (
+      SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ), w{i} AS (
+      SELECT word, freq,
+             replace(replace(w.sym,
+                             ' ' || b.pair || ' ',
+                             ' ' || replace(b.pair, ' ', '') || ' '),
+                     ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w{i-1} w CROSS JOIN b{i} b
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, pair,"
+        f" replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt"
+        f" FROM b{i}"
+        for i in range(1, m + 1)
+    )
+    return "WITH " + ", ".join(blocks) + f"\n    {unions}"
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    BPE_MERGES merge rules from the corpus — per-iteration adjacent-pair
+    frequencies over the current segmentation, merge the most frequent
+    pair (ties to the lexicographically smallest), re-segment, repeat.
+    Output: one row per learned merge (it, pair, merged, cnt).
+
+    100 TB design: the corpus-sized pass happens ONCE (the word-frequency
+    aggregate — map-side combined, result is |vocab| rows, sublinear in
+    corpus size); every merge iteration then runs on the STAGED vocab
+    table — pair explode + one vocab-sized agg + a 1-ROW collect (the
+    argmax; BPE is inherently sequential in the merge decision, so one
+    driver round-trip per merge is the floor, the same stance as the
+    Lloyd trainers). Segmentation state is a space-joined symbol string
+    with sentinel boundaries; a merge is a LITERAL two-pass replace of
+    ' a b ' -> ' ab ' (two passes make left-to-right non-overlapping
+    replacement equal to reference BPE's zero-width-lookaround regex on
+    boundary-sharing chains like 'a b a b a b' — RE2 has no lookarounds,
+    so the literal form is the cross-engine one). The merged token can
+    never recreate its own pattern within an iteration (ab != a and
+    ab != b for non-empty symbols), so two passes are exact, not
+    approximate. Iterations derive from the staged vocab via codegen'd
+    string expressions — no per-iteration shuffle of the corpus, no
+    growing lineage re-reading documents."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = stage(
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("sym"),
+        ),
+        "bpe-vocab",
+    )
+    base = vocab
+    merges = []
+    for i in range(1, BPE_MERGES + 1):
+        arrdf = base.select(
+            "freq", F.split(F.trim(F.col("sym")), " ").alias("arr")
+        )
+        arr = F.col("arr")
+        n = F.size(arr)
+        prs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            arrdf.select("freq", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0].pair, int(best[0].cnt)
+        merged = pair.replace(" ", "")
+        merges.append((i, pair, merged, cnt))
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        base = base.withColumn(
+            "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+        )
+    return spark.createDataFrame(
+        merges, "it long, pair string, merged string, cnt long"
     )
