@@ -18,12 +18,17 @@ Store layout (``store_dir/``):
   is what makes the store's contents a pure function of the build/append
   SPLIT — the ``ann_ivf_store_topk`` oracle replays build-shard training
   + whole-corpus assignment in SQL and hash-matches.
-- ``vectors/cell=<cid>/`` — (vec_id, ve) parquet, PARTITIONED BY the
-  home cell. Directory-level partitioning is the index: a top-k probe
-  filters ``cell IN (<probed>)`` with LITERAL ids, so the scan's
-  PartitionFilters prune every unprobed cell at planning time — the scan
-  reads nprobe/ncells of the store whatever its size (plan-guarded by
-  tests/test_ivf_store.py::test_topk_scan_partition_pruned).
+- ``vectors/tag=<tag>/cell=<cid>/`` — (vec_id, ve) parquet, PARTITIONED
+  BY the append tag and the home cell. Directory-level partitioning is
+  the index: a top-k probe filters ``cell IN (<probed>)`` with LITERAL
+  ids, so the scan's PartitionFilters prune every unprobed cell at
+  planning time — the scan reads nprobe/ncells of the store whatever its
+  size (plan-guarded by tests/test_ivf_store.py::
+  test_topk_scan_partition_pruned). The tag level is the exactly-once
+  unit: each append overwrites ITS OWN tag dir (idempotent replay) and
+  reads are _SUCCESS-gated, so the streaming ingest
+  (streaming/ivf_stream.py) gets crash consistency from the layout
+  alone — no rollback call needed.
 
 Scale stance: build/append are one broadcast-assign pass each (the
 centroid table is the broadcast side, bounded by k = n_build/cell_target;
@@ -92,36 +97,75 @@ class IvfIndexStore:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_path)
 
-    def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(self.vectors_path)
+    def centroids_committed(self) -> bool:
+        """True iff the centroid table finished writing (_SUCCESS) — a
+        crash mid-train leaves a partial dir that must be retrained, not
+        trusted (the streaming ingest's replay check)."""
+        return os.path.exists(os.path.join(self.centroids_path, "_SUCCESS"))
 
-    def build(self, v_df: DataFrame) -> None:
-        """Train the quantizer on this shard and index it. Errors if the
-        store already exists (mode="error" — a second build would
-        silently fork the centroid history) or the shard is empty (k
-        would be undefined)."""
-        staged = stage(v_df, f"ivf-build-{self._tag}")
+    def _committed_tags(self) -> list[str]:
+        if not os.path.isdir(self.vectors_path):
+            return []
+        return sorted(
+            os.path.join(self.vectors_path, d)
+            for d in os.listdir(self.vectors_path)
+            if d.startswith("tag=")
+            and os.path.exists(os.path.join(self.vectors_path, d, "_SUCCESS"))
+        )
+
+    def vectors(self) -> DataFrame:
+        """The indexed corpus — COMMITTED tags only (_SUCCESS-gated, the
+        dedup_stream read_kept recipe): a crashed mid-write append stays
+        invisible until its replay overwrites the tag."""
+        schema = "vec_id long, ve array<double>, cell int, tag string"
+        tags = self._committed_tags()
+        if not tags:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", self.vectors_path)
+            .schema(schema)
+            .parquet(*tags)
+        )
+
+    def train(self, v_df: DataFrame, overwrite: bool = False) -> None:
+        """Train and persist the quantizer. overwrite=False errors on an
+        existing store (a second build would silently fork the centroid
+        history); overwrite=True is the streaming-replay mode — the
+        trainer is deterministic, so retraining on the replayed batch
+        rewrites identical bits."""
+        staged = stage(v_df, f"ivf-train-{self._tag}")
         n = staged.count()
         if n == 0:
-            raise ValueError("IvfIndexStore.build: empty build corpus")
+            raise ValueError("IvfIndexStore.train: empty training corpus")
         k = max(1, math.ceil(n / self.cell_target))
         train_quantizer(staged, k).write.parquet(
-            self.centroids_path, mode="error"
+            self.centroids_path, mode="overwrite" if overwrite else "error"
         )
-        self._append_assigned(staged)
 
-    def append(self, v_df: DataFrame) -> None:
+    def build(self, v_df: DataFrame, tag: str = "base") -> None:
+        """Train the quantizer on this shard and index it."""
+        staged = stage(v_df, f"ivf-build-{self._tag}")
+        self.train(staged)
+        self._append_assigned(staged, tag)
+
+    def append(self, v_df: DataFrame, tag: str | None = None) -> None:
         """Assign a new shard to the FROZEN centroids and append it.
         Identical assignment rule as build, so store contents equal
         one whole-corpus assignment regardless of sharding (pinned by
-        test_append_shard_invariance)."""
-        self._append_assigned(stage(v_df, f"ivf-append-{self._tag}"))
+        test_append_shard_invariance). Appends land under a TAG subdir
+        written with overwrite — re-appending the same tag (a replayed
+        micro-batch) is idempotent; distinct shards get distinct tags
+        (default: a fresh uuid)."""
+        if tag is None:
+            tag = f"append-{uuid.uuid4().hex[:12]}"
+        self._append_assigned(stage(v_df, f"ivf-append-{self._tag}"), tag)
 
-    def _append_assigned(self, v_df: DataFrame) -> None:
+    def _append_assigned(self, v_df: DataFrame, tag: str) -> None:
         assigned = v_df.join(_assign_cells(v_df, self.centroids()), "vec_id")
+        out = os.path.join(self.vectors_path, f"tag={tag}")
         assigned.select("vec_id", "ve", "cell").write.partitionBy(
             "cell"
-        ).parquet(self.vectors_path, mode="append")
+        ).parquet(out, mode="overwrite")
 
     def topk(
         self,

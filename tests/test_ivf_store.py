@@ -132,7 +132,7 @@ def test_build_guards(spark, tmp_path):
     """Empty build and double build fail loudly instead of corrupting."""
     v = _vectors(spark)
     s = _store(spark, tmp_path, "guards")
-    with pytest.raises(ValueError, match="empty build"):
+    with pytest.raises(ValueError, match="empty training corpus"):
         s.build(v.filter(F.lit(False)))
     s.build(v)
     with pytest.raises(Exception):  # parquet mode="error" on re-build
