@@ -280,6 +280,53 @@ def main() -> None:
     record("sliding_window", sliding_wall, len(em.emitted), rows=slide_rows)
     scenarios["sliding_window"]["emitted_rows"] = slid["rows"]
 
+    # -- 7. Streaming IVF index ingest (foreachBatch + IvfIndexStore) -----
+    # per micro-batch: one broadcast-assign pass over the shard + one
+    # cell-partitioned parquet write (train on batch 0 only). Measures
+    # the ANN-ingest path end-to-end incl. the exactly-once tag layout.
+    import numpy as np
+
+    from minibatch_spark.operators.ivf_store import IvfIndexStore
+    from minibatch_spark.streaming.ivf_stream import ingest_embedding_stream
+
+    n_vec = N_ROWS // 50  # 20k vectors at the 1M-row default
+    dim, n_shards = 64, 4
+    rng = np.random.default_rng(7)
+    src = os.path.join(base, "ivf-src")
+    os.makedirs(src)
+    per = n_vec // n_shards
+    for sh in range(n_shards):
+        vecs = rng.standard_normal((per, dim))
+        rows = [
+            (sh * per + i, [float(x) for x in vecs[i]]) for i in range(per)
+        ]
+        p = os.path.join(src, f"p{sh}")
+        spark.createDataFrame(rows, "vec_id long, ve array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_000_000_000 + sh, 1_000_000_000 + sh),
+                )
+    stream_v = (
+        spark.readStream.schema("vec_id long, ve array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    store_dir = os.path.join(base, "ivf-store")
+    t0 = time.monotonic()
+    q = ingest_embedding_stream(
+        spark, stream_v, store_dir, os.path.join(base, "ivf-ckpt"),
+        cell_target=200,
+    )
+    q.awaitTermination()
+    ivf_wall = time.monotonic() - t0
+    n_indexed = IvfIndexStore(spark, store_dir).vectors().count()
+    assert n_indexed == per * n_shards, (n_indexed, per * n_shards)
+    record("ivf_ingest", ivf_wall, n_shards, rows=n_indexed)
+
     shutil.rmtree(base, ignore_errors=True)
     total = round(sum(sc["wall_sec"] for sc in scenarios.values()), 3)
     out = {

@@ -134,3 +134,40 @@ def test_cascade_recall_matches_bruteforce(spark, clustered_dir):
     casc = {r.vec_id for r in ann_cascade_topk(spark, sf_dir).collect()}
     brute = {r.vec_id for r in ann_topk_bruteforce(spark, sf_dir).collect()}
     assert len(casc & brute) >= 8, (casc, brute)
+
+
+def test_ivf_store_planted_recall_clustered(spark, clustered_dir, tmp_path):
+    """The persisted IVF store finds the planted near-dups (cosine 0.99)
+    in the clustered regime: for each planted (a, b) pair whose members
+    land in the store, querying a's vector returns b as the TOP neighbor
+    (2-cell multi-probe, same recall stance as emb_near_dup_topk's
+    two-probe pin). Pinned recall >= 0.9 — a near-dup at 0.99 that lands
+    in a non-probed cell would mean the quantizer or the probe selection
+    regressed."""
+    import os as _os
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.ivf_store import IvfIndexStore
+    from minibatch_spark.operators.similarity import as_double
+
+    sf_dir, pairs = clustered_dir
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    store = IvfIndexStore(spark, _os.path.join(str(tmp_path), "clust-ivf"))
+    # split like the registered query: build low half, append high half
+    mid = N // 2
+    store.build(v.filter(F.col("vec_id") <= mid))
+    store.append(v.filter(F.col("vec_id") > mid))
+
+    anchors = sorted({a for a, _ in pairs})
+    q = v.filter(F.col("vec_id").isin(anchors)).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in store.topk(q, k=1, nprobe=2).collect()
+    }
+    want = dict(pairs)
+    hit = sum(1 for a, b in want.items() if top1.get(a) == b)
+    assert hit / len(want) >= 0.9, (hit, len(want), top1)
