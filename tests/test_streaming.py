@@ -15,6 +15,7 @@ All tests use Trigger.AvailableNow over tmpdir file-backed streams — the
 deterministic replacement for the reference's sleep-based polling loops.
 """
 
+import json
 import time
 from datetime import datetime, timedelta
 
