@@ -133,7 +133,9 @@ class IvfIndexStore:
         history); overwrite=True is the streaming-replay mode — the
         trainer is deterministic, so retraining on the replayed batch
         rewrites identical bits."""
-        staged = stage(v_df, f"ivf-train-{self._tag}")
+        self._train_staged(stage(v_df, f"ivf-train-{self._tag}"), overwrite)
+
+    def _train_staged(self, staged: DataFrame, overwrite: bool = False) -> None:
         n = staged.count()
         if n == 0:
             raise ValueError("IvfIndexStore.train: empty training corpus")
@@ -143,9 +145,10 @@ class IvfIndexStore:
         )
 
     def build(self, v_df: DataFrame, tag: str = "base") -> None:
-        """Train the quantizer on this shard and index it."""
+        """Train the quantizer on this shard and index it (one staging
+        of the shard, shared by training and assignment)."""
         staged = stage(v_df, f"ivf-build-{self._tag}")
-        self.train(staged)
+        self._train_staged(staged)
         self._append_assigned(staged, tag)
 
     def append(self, v_df: DataFrame, tag: str | None = None) -> None:
