@@ -76,7 +76,16 @@ def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float | No
     """Best-of-reps wall per query; None (JSON null, never NaN) for a query
     with NO successful rep. A failure on a later rep keeps the best earlier
     timing instead of discarding it — and every failure is loud on stderr,
-    so a vanished query can't silently drop out of the flag lists."""
+    so a vanished query can't silently drop out of the flag lists.
+
+    Materialization is a NOOP-SINK WRITE (bench.py's recipe), not
+    collect(): collect measures driver-side row serialization, which for
+    a row-for-row projection grows with OUTPUT size and flagged the
+    shuffle-free scalar_date_orders at 11x for 10x data — a path no
+    production job takes. The noop sink executes the full plan on the
+    executors and discards rows there, so ratios measure COMPUTE scaling
+    (the thing the audit is for). count() would be wrong the other way —
+    it lets Catalyst prune the projections under test."""
     out: dict[str, float | None] = {}
     for name in sorted(queries):
         fn = queries[name]
@@ -84,7 +93,7 @@ def time_all(spark, queries, sf_dir: str, reps: int = 2) -> dict[str, float | No
         for _ in range(reps):
             try:
                 t0 = time.monotonic()
-                fn(spark, sf_dir).collect()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.monotonic() - t0)
             except Exception as e:  # record and continue with the next rep
                 print(f"ERR {name} @ {sf_dir}: {e}", file=sys.stderr)
