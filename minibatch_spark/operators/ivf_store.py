@@ -49,11 +49,15 @@ import math
 import os
 import uuid
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minibatch_spark.catalog import SCRATCH_DIR, load_table, spread, stage
 from minibatch_spark.operators.similarity import (
+    PQ_DSUB,
+    PQ_K,
+    PQ_M,
     SEM_CELL_TARGET,
     _assign_cells,
     _d2,
@@ -67,6 +71,12 @@ from minibatch_spark.registry import query
 IVF_STORE_NQ = 4  # query vectors in the registered smoke query
 IVF_STORE_K = 5  # neighbors returned per query
 IVF_STORE_NPROBE = 2  # cells probed per query
+
+
+def _w_vid():
+    from pyspark.sql import Window
+
+    return Window.orderBy("vec_id")
 
 
 class IvfIndexStore:
@@ -94,6 +104,10 @@ class IvfIndexStore:
     def vectors_path(self) -> str:
         return os.path.join(self.store_dir, "vectors")
 
+    @property
+    def codebook_path(self) -> str:
+        return os.path.join(self.store_dir, "pq_codebook")
+
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_path)
 
@@ -117,7 +131,10 @@ class IvfIndexStore:
         """The indexed corpus — COMMITTED tags only (_SUCCESS-gated, the
         dedup_stream read_kept recipe): a crashed mid-write append stays
         invisible until its replay overwrites the tag."""
-        schema = "vec_id long, ve array<double>, cell int, tag string"
+        schema = (
+            "vec_id long, ve array<double>, codes array<int>, "
+            "cell int, tag string"
+        )
         tags = self._committed_tags()
         if not tags:
             return self.spark.createDataFrame([], schema)
@@ -140,9 +157,31 @@ class IvfIndexStore:
         if n == 0:
             raise ValueError("IvfIndexStore.train: empty training corpus")
         k = max(1, math.ceil(n / self.cell_target))
-        train_quantizer(staged, k).write.parquet(
-            self.centroids_path, mode="overwrite" if overwrite else "error"
+        mode = "overwrite" if overwrite else "error"
+        train_quantizer(staged, k).write.parquet(self.centroids_path, mode=mode)
+        # PQ codebook: the PQ_K lowest-vec_id vectors of the SAME training
+        # shard (the deterministic sampled recipe ann_pq_topk's oracle
+        # replays) — frozen with the coarse quantizer.
+        cb = (
+            staged.orderBy("vec_id")
+            .limit(PQ_K)
+            .select(
+                (F.row_number().over(_w_vid()) - 1).cast("int").alias("k"),
+                F.col("ve").alias("cv"),
+            )
         )
+        cb.write.parquet(self.codebook_path, mode=mode)
+
+    def _pq_codebook(self):
+        """The persisted codebook as an (M, n_k, DSUB) numpy array."""
+        import numpy as np
+
+        rows = sorted(
+            self.spark.read.parquet(self.codebook_path).collect(),
+            key=lambda r: r.k,
+        )
+        CB = np.array([r.cv for r in rows], dtype=np.float64)
+        return CB.reshape(len(rows), PQ_M, PQ_DSUB).transpose(1, 0, 2)
 
     def build(self, v_df: DataFrame, tag: str = "base") -> None:
         """Train the quantizer on this shard and index it (one staging
@@ -164,26 +203,35 @@ class IvfIndexStore:
         self._append_assigned(stage(v_df, f"ivf-append-{self._tag}"), tag)
 
     def _append_assigned(self, v_df: DataFrame, tag: str) -> None:
+        from pyspark.sql.functions import pandas_udf
+
+        cb_sub = self._pq_codebook()
+
+        @pandas_udf("array<int>")
+        def pq_codes(ve: pd.Series) -> pd.Series:
+            import numpy as np
+
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in ve]
+            ).reshape(-1, PQ_M, PQ_DSUB)
+            d = ((V[:, :, None, :] - cb_sub[None, :, :, :]) ** 2).sum(-1)
+            return pd.Series(
+                [c.tolist() for c in d.argmin(-1).astype("int32")]
+            )
+
         assigned = v_df.join(_assign_cells(v_df, self.centroids()), "vec_id")
         out = os.path.join(self.vectors_path, f"tag={tag}")
-        assigned.select("vec_id", "ve", "cell").write.partitionBy(
-            "cell"
-        ).parquet(out, mode="overwrite")
+        assigned.select(
+            "vec_id", "ve", pq_codes("ve").alias("codes"), "cell"
+        ).write.partitionBy("cell").parquet(out, mode="overwrite")
 
-    def topk(
-        self,
-        q_df: DataFrame,
-        k: int = IVF_STORE_K,
-        nprobe: int = IVF_STORE_NPROBE,
-    ) -> DataFrame:
-        """Top-k neighbors per query from the probed cells only.
-
-        q_df is a SMALL (query_id, qv) batch. Probe selection runs
-        distributed (queries broadcast onto the centroid table — k cells
-        can be corpus-scaled, so centroids are never collected); only the
+    def _probe(self, q_df: DataFrame, nprobe: int):
+        """Probe selection, shared by topk and topk_adc: runs distributed
+        (queries broadcast onto the centroid table — k cells can be
+        corpus-scaled, so centroids are never collected); only the
         Q x nprobe winning cell ids come back to the driver, because the
         store scan needs them as LITERALS for static partition pruning.
-        Self-matches are excluded to mirror ann_topk_batch."""
+        Returns (pruned_scan, probe_map_df)."""
         scored = self.centroids().crossJoin(F.broadcast(q_df)).select(
             "query_id",
             "cid",
@@ -208,6 +256,19 @@ class IvfIndexStore:
             [(r.query_id, r.cell) for r in probe_rows],
             "query_id long, cell int",
         )
+        return pruned, probe_map
+
+    def topk(
+        self,
+        q_df: DataFrame,
+        k: int = IVF_STORE_K,
+        nprobe: int = IVF_STORE_NPROBE,
+    ) -> DataFrame:
+        """Top-k neighbors per query from the probed cells only,
+        exact-cosine scored on the full vectors. q_df is a SMALL
+        (query_id, qv) batch. Self-matches are excluded to mirror
+        ann_topk_batch."""
+        pruned, probe_map = self._probe(q_df, nprobe)
         cand = pruned.join(F.broadcast(probe_map), "cell")
         scoredv = (
             cand.join(F.broadcast(q_df), "query_id")
@@ -227,17 +288,74 @@ class IvfIndexStore:
             "rk", F.row_number().over(w).cast("long")
         ).filter(F.col("rk") <= k)
 
+    def topk_adc(
+        self,
+        q_df: DataFrame,
+        k: int = IVF_STORE_K,
+        nprobe: int = IVF_STORE_NPROBE,
+    ) -> DataFrame:
+        """IVF-PQ top-k: ADC (asymmetric distance computation) over the
+        PERSISTED 8-byte codes inside the probed cells — the FAISS IVFPQ
+        production configuration. The scan reads (vec_id, codes) ONLY:
+        on top of the cell partition pruning, column pruning leaves the
+        full vectors unread — at 256-byte vectors and M=8 codes that is
+        a 32x IO cut on the probed cells (ReadSchema plan-guarded).
 
-def _ivf_store_oracle() -> str:
-    """DuckDB replay of the FULL store lifecycle: quantizer trained on
-    the build shard (vec_id <= midpoint), whole corpus assigned to the
-    frozen centroids (build + append share the assignment rule), probe
-    selection, within-probe cosine ranking. A hash match proves the
-    append path assigned against the build-time centroids (not its own)
-    AND that sharding does not change the index contents."""
-    d2q = _SEM_D2_SQL.replace("e.ve", "q.qv")
-    return f"""
-    WITH eall AS (
+        The per-(query, m, code) distance table is Q x M x K rows,
+        computed driver-side from the collected query batch + codebook
+        (both bounded) and BROADCAST; codes posexplode to (m, code) and
+        join it — one partial-aggregated exchange keyed on
+        (query_id, vec_id), mirroring the oracle's SQL structure
+        exactly. Approximate by construction (quantization error), so
+        ranked by ADC distance, not true cosine."""
+        import numpy as np
+
+        cb_sub = self._pq_codebook()
+        n_k = cb_sub.shape[1]
+        q_rows = q_df.collect()  # bounded query batch
+        adc_rows = []
+        for r in q_rows:
+            qsub = np.asarray(r.qv, dtype=np.float64).reshape(PQ_M, PQ_DSUB)
+            qd2 = ((qsub[:, None, :] - cb_sub) ** 2).sum(-1)
+            for m in range(PQ_M):
+                for kk in range(n_k):
+                    adc_rows.append(
+                        (r.query_id, m, kk, float(qd2[m, kk]))
+                    )
+        adc_df = self.spark.createDataFrame(
+            adc_rows, "query_id long, m int, code int, qd2 double"
+        )
+        pruned, probe_map = self._probe(q_df, nprobe)
+        cand = pruned.select("cell", "vec_id", "codes").join(
+            F.broadcast(probe_map), "cell"
+        )
+        exploded = cand.select(
+            "query_id", "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        scoredv = (
+            exploded.join(F.broadcast(adc_df), ["query_id", "m", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("vec_id")
+        )
+        return scoredv.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).filter(F.col("rk") <= k)
+
+
+def _ivf_cells_sql() -> str:
+    """Shared CTE prefix replaying store CONSTRUCTION: quantizer trained
+    on the build shard (vec_id <= midpoint), whole corpus assigned to the
+    frozen centroids — ends at ``store (vec_id, cell, ve)`` and exposes
+    ``e1`` (the build shard) and ``c1`` (the centroids). Shared by the
+    ann_ivf_store_topk and ann_ivfpq_store_topk oracles so both
+    hash-check the entire lifecycle."""
+    return f"""eall AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
     ), mm AS (
       SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM eall
@@ -273,7 +391,19 @@ def _ivf_store_oracle() -> str:
     ), store AS (
       SELECT vec_id, cid AS cell, ve FROM a1
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
-    ), q AS (
+    )"""
+
+
+def _ivf_store_oracle() -> str:
+    """DuckDB replay of the FULL store lifecycle: quantizer trained on
+    the build shard (vec_id <= midpoint), whole corpus assigned to the
+    frozen centroids (build + append share the assignment rule), probe
+    selection, within-probe cosine ranking. A hash match proves the
+    append path assigned against the build-time centroids (not its own)
+    AND that sharding does not change the index contents."""
+    d2q = _SEM_D2_SQL.replace("e.ve", "q.qv")
+    return f"""
+    WITH {_ivf_cells_sql()}, q AS (
       SELECT vec_id AS query_id, ve AS qv
       FROM eall ORDER BY vec_id LIMIT {IVF_STORE_NQ}
     ), pscore AS (
@@ -299,6 +429,7 @@ def _ivf_store_oracle() -> str:
     SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {IVF_STORE_K}
     """
+
 
 
 @query("ann_ivf_store_topk", oracle=_ivf_store_oracle())
@@ -333,3 +464,96 @@ def ann_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
     )
     return store.topk(q, k=IVF_STORE_K, nprobe=IVF_STORE_NPROBE)
+
+
+def _ivfpq_store_oracle() -> str:
+    """DuckDB replay of the IVF-PQ lifecycle on top of _ivf_cells_sql:
+    PQ codebook sampled from the build shard, nearest-codeword codes for
+    every stored vector, per-query ADC table, probe-filtered lookup-sum
+    ranking. A hash match proves the persisted codes AND the pruned ADC
+    ranking equal the no-store computation."""
+    d2q = _SEM_D2_SQL.replace("e.ve", "q.qv")
+    return f"""
+    WITH {_ivf_cells_sql()}, cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k,
+             ve AS cv
+      FROM e1
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {PQ_K}
+    ), ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    sub AS (
+      SELECT s.vec_id, s.cell, ms.m, cb.k,
+             list_sum(list_transform(generate_series(1, {PQ_DSUB}),
+               i -> power(s.ve[ms.m * {PQ_DSUB} + i]
+                          - cb.cv[ms.m * {PQ_DSUB} + i], 2))) AS d2
+      FROM store s CROSS JOIN ms CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, cell, m, k AS code FROM sub
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1
+    ), q AS (
+      SELECT vec_id AS query_id, ve AS qv
+      FROM eall ORDER BY vec_id LIMIT {IVF_STORE_NQ}
+    ), pscore AS (
+      SELECT q.query_id, c.cid, {d2q} AS d2
+      FROM q CROSS JOIN c1 c
+    ), probes AS (
+      SELECT query_id, cid AS cell FROM pscore
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cid)
+              <= {IVF_STORE_NPROBE}
+    ), adc AS (
+      SELECT q.query_id, ms.m, cb.k,
+             list_sum(list_transform(generate_series(1, {PQ_DSUB}),
+               i -> power(q.qv[ms.m * {PQ_DSUB} + i]
+                          - cb.cv[ms.m * {PQ_DSUB} + i], 2))) AS qd2
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    ), scored AS (
+      SELECT p.query_id, c.vec_id, ROUND(SUM(a.qd2), 6) AS adc_dist
+      FROM probes p
+      JOIN codes c ON c.cell = p.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = c.m AND a.k = c.code
+      WHERE c.vec_id <> p.query_id
+      GROUP BY p.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {IVF_STORE_K}
+    """
+
+
+@query("ann_ivfpq_store_topk", oracle=_ivfpq_store_oracle())
+def ann_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ from the persisted store: the FAISS-IVFPQ production
+    layout run end-to-end — build the store on the low half (trains the
+    coarse quantizer AND the PQ codebook, both frozen), append the high
+    half, answer a 4-query top-5 batch by ADC over the persisted codes
+    inside the probed cells. The probe scan reads (vec_id, codes) only:
+    partition pruning cuts cells, column pruning leaves the full vectors
+    unread — the two prunings that make a 100 TB index answer in
+    O(nprobe/ncells x codes). Oracle replays training, code assignment,
+    probing, and ADC ranking in one SQL."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double("embedding").alias("ve"))
+    lo, hi = v.agg(F.min("vec_id"), F.max("vec_id")).first() or (None, None)
+    if lo is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist double, rk long"
+        )
+    mid = (int(lo) + int(hi)) // 2
+    store = IvfIndexStore(
+        spark,
+        os.path.join(
+            SCRATCH_DIR, f"ivfpq-{os.getpid()}-{uuid.uuid4().hex}"
+        ),
+    )
+    store.build(v.filter(F.col("vec_id") <= mid))
+    store.append(v.filter(F.col("vec_id") > mid))
+    q = (
+        v.orderBy("vec_id")
+        .limit(IVF_STORE_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
+    )
+    return store.topk_adc(q, k=IVF_STORE_K, nprobe=IVF_STORE_NPROBE)
