@@ -48,6 +48,10 @@ def main() -> None:
     )
     store.topk(q, k=3, nprobe=2).show(truncate=False)
 
+    # -- the memory-bounded path: ADC over the persisted 8-byte PQ codes
+    # (reads codes, never the vectors — column + partition pruning)
+    store.topk_adc(q, k=3, nprobe=2).show(truncate=False)
+
     # -- the same index built from a stream, exactly once -----------------
     src = os.path.join(base, "src")
     for i, half in enumerate(
