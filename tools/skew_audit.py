@@ -34,8 +34,13 @@ def main(a_dir: str, b_dir: str) -> None:
 
     spark = get_spark(app_name="skew-audit")
     queries = all_queries()
-    a = time_all(spark, queries, a_dir)
-    b = time_all(spark, queries, b_dir)
+    # best-of-3 (vs scale_audit's 2): the uniform/skewed comparison is
+    # mostly sub-second queries on a co-tenant host, where best-of-2
+    # produced a phantom 2.25x on ann_lsh_buckets (min-of-5 manual rerun:
+    # skewed FASTER than uniform) — same noise class the sf10 bench fixed
+    # with min-of-5.
+    a = time_all(spark, queries, a_dir, reps=3)
+    b = time_all(spark, queries, b_dir, reps=3)
     rows = {}
     for n in sorted(queries):
         ratio = (
