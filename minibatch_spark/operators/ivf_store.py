@@ -37,10 +37,12 @@ rows). topk's driver materialization is Q x nprobe ints (the probe ids —
 needed as literals for static pruning) plus the Q query vectors — both
 bounded by the query batch, never by the corpus. Scoring inside probed
 cells is the rounded-cosine WindowGroupLimit shape shared with
-ann_topk_batch. Small-file accretion from many appends is the same
-problem the minhash store solves with compact_bands(); a per-cell
-rewrite inherits that manifest recipe and is deliberately not duplicated
-here.
+ann_topk_batch. Small-file accretion from many appends (each micro-batch
+leaves a file per touched cell) is handled by ``compact()``: the
+manifest-flipped rewrite of all live tags into one cell-partitioned
+base, crash-safe by ordering (write base under an unreferenced name →
+atomic manifest rename → delete garbage) — the minhash store's
+compact_bands recipe re-expressed over the tag layout.
 """
 
 from __future__ import annotations
@@ -117,15 +119,85 @@ class IvfIndexStore:
         trusted (the streaming ingest's replay check)."""
         return os.path.exists(os.path.join(self.centroids_path, "_SUCCESS"))
 
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.vectors_path, "_compaction.json")
+
+    def _manifest(self) -> "dict | None":
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
     def _committed_tags(self) -> list[str]:
+        """Live data directories: every _SUCCESS-committed ``tag=`` dir,
+        minus tags a compaction absorbed, and ``compacted-*`` bases only
+        when the manifest references them — a crashed compaction (base
+        written, manifest not flipped) is therefore invisible garbage,
+        never a duplicate. Base dirs keep the ``tag=`` prefix so the
+        basePath partition parsing stays uniform. The manifest stores
+        BARE tag names, not paths (the r6 relative-path lesson from the
+        minhash store's covered_files)."""
         if not os.path.isdir(self.vectors_path):
             return []
-        return sorted(
-            os.path.join(self.vectors_path, d)
-            for d in os.listdir(self.vectors_path)
-            if d.startswith("tag=")
-            and os.path.exists(os.path.join(self.vectors_path, d, "_SUCCESS"))
+        man = self._manifest()
+        absorbed = set(man["absorbed"]) if man else set()
+        base = man["base"] if man else None
+        tags = []
+        for d in os.listdir(self.vectors_path):
+            if not d.startswith("tag="):
+                continue
+            name = d[len("tag="):]
+            if name in absorbed:
+                continue
+            if name.startswith("compacted-") and name != base:
+                continue  # orphan or superseded base
+            if os.path.exists(os.path.join(self.vectors_path, d, "_SUCCESS")):
+                tags.append(os.path.join(self.vectors_path, d))
+        return sorted(tags)
+
+    def compact(self) -> None:
+        """Rewrite the accumulated append tags into ONE cell-partitioned
+        base — the small-file answer for a store fed by thousands of
+        micro-batches (each append leaves a file per touched cell; the
+        probe scan's cost grows with file count, not data size). Crash
+        safety comes from ordering, not locks: (1) the new base is
+        written under a ``ctag=`` name the tag listing ignores, (2) the
+        manifest (tmp + atomic rename) flips readers to base+absorbed in
+        one step, (3) absorbed dirs become garbage deleted last — a
+        crash at any point leaves readers seeing exactly the pre- or
+        post-compaction contents, never duplicates, never a partial
+        base. vectors()/topk contents are bit-identical across the flip
+        (test-pinned)."""
+        import json
+        import shutil
+
+        tags = self._committed_tags()
+        if len(tags) <= 1:
+            return  # nothing to merge
+        base = f"compacted-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.vectors_path, f"tag={base}")
+        self.vectors().select("vec_id", "ve", "codes", "cell").write.partitionBy(
+            "cell"
+        ).parquet(out, mode="overwrite")
+        prev = self._manifest()
+        # absorb everything merged (incl. the previous base) and carry
+        # forward previously-absorbed names whose dirs a crashed gc pass
+        # may have left behind — dropping them from the manifest would
+        # resurrect them through the tag listing
+        absorbed = sorted(
+            {os.path.basename(t)[len("tag="):] for t in tags}
+            | (set(prev["absorbed"]) if prev else set())
         )
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"base": base, "absorbed": absorbed}, f)
+        os.replace(tmp, self._manifest_path)  # the atomic flip
+        for t in tags:  # now garbage (masked by the manifest)
+            shutil.rmtree(t, ignore_errors=True)
 
     def vectors(self) -> DataFrame:
         """The indexed corpus — COMMITTED tags only (_SUCCESS-gated, the

@@ -173,3 +173,65 @@ def test_topk_adc_reads_codes_not_vectors(spark, tmp_path):
     # with the no-store computation is the ann_ivfpq_store_topk oracle)
     got = {(r.query_id, r.rk): r.vec_id for r in df.collect()}
     assert len(got) == 2 * 3, got
+
+
+def test_compact_preserves_contents_and_survives_crash_windows(spark, tmp_path):
+    """compact() merges many append tags into one cell-partitioned base:
+    contents bit-identical across the flip, appends after compaction
+    visible, and BOTH crash windows safe — (a) base written but manifest
+    not flipped: the ctag dir is invisible garbage (no duplicates, old
+    contents intact); (b) manifest flipped but absorbed dirs not yet
+    deleted: the manifest masks them (no duplicates); a follow-up
+    compact carries the leftover name forward instead of resurrecting
+    it."""
+    import json
+    import os as _os
+
+    v = _vectors(spark)
+    h1, h2, h3 = _split(v, 3)
+    s = _store(spark, tmp_path, "compact")
+    s.build(h1)
+    s.append(h2)
+
+    def snap():
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.codes)) for r in s.vectors().collect()
+        )
+
+    before = snap()
+    # crash window (a): a compacted-* base exists but no manifest flip
+    orphan = _os.path.join(s.vectors_path, "tag=compacted-crashedorphan")
+    s.vectors().limit(5).select("vec_id", "ve", "codes", "cell").write.parquet(
+        orphan
+    )
+    assert snap() == before  # invisible garbage, not duplicates
+
+    s.compact()
+    assert snap() == before
+    man = json.load(open(_os.path.join(s.vectors_path, "_compaction.json")))
+    assert "base" in man["absorbed"]  # the build tag was absorbed
+
+    # crash window (b): resurrect an absorbed dir on disk — the manifest
+    # must mask it
+    ghost = _os.path.join(s.vectors_path, "tag=base")
+    s.vectors().limit(3).select("vec_id", "ve", "codes", "cell").write.parquet(
+        ghost
+    )
+    assert snap() == before
+
+    # appends after compaction are visible; a second compact merges them
+    s.append(h3)
+    with_h3 = snap()
+    assert len(with_h3) == v.count()
+    s.compact()
+    assert snap() == with_h3
+    # the leftover ghost name stayed absorbed across the second flip
+    man2 = json.load(open(_os.path.join(s.vectors_path, "_compaction.json")))
+    assert "base" in man2["absorbed"]
+    # and queries still answer from the compacted store
+    q = (
+        v.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
+    )
+    assert s.topk(q, k=3).count() == 3
