@@ -365,6 +365,7 @@ class IvfIndexStore:
         q_df: DataFrame,
         k: int = IVF_STORE_K,
         nprobe: int = IVF_STORE_NPROBE,
+        rerank: int | None = None,
     ) -> DataFrame:
         """IVF-PQ top-k: ADC (asymmetric distance computation) over the
         PERSISTED 8-byte codes inside the probed cells — the FAISS IVFPQ
@@ -379,7 +380,19 @@ class IvfIndexStore:
         join it — one partial-aggregated exchange keyed on
         (query_id, vec_id), mirroring the oracle's SQL structure
         exactly. Approximate by construction (quantization error), so
-        ranked by ADC distance, not true cosine."""
+        ranked by ADC distance, not true cosine.
+
+        ``rerank=R`` is the FAISS IVFPQ,Refine recipe — the production
+        answer to quantization error: ADC selects R candidates per query
+        (reading codes only), then an exact-cosine pass over just those
+        R full vectors returns the final top-k as (query_id, vec_id,
+        cos_sim, rk). R is FIXED as the corpus grows, so the rerank IO
+        is bounded by Q x R vectors whatever the cell sizes. Measured on
+        the clustered corpus (planted pairs at cosine 0.99, 16-codeword
+        sampled codebook): plain ADC top-10 finds the planted partner
+        for only 0.275 of anchors — the honest coarse-quantization
+        story — while ADC-200 + rerank recovers it top-1 for >= 0.95
+        (pinned in tests/test_clustered_regime.py)."""
         import numpy as np
 
         cb_sub = self._pq_codebook()
@@ -415,8 +428,35 @@ class IvfIndexStore:
         w = Window.partitionBy("query_id").orderBy(
             F.asc("adc_dist"), F.asc("vec_id")
         )
-        return scoredv.withColumn(
+        ranked = scoredv.withColumn(
             "rk", F.row_number().over(w).cast("long")
+        )
+        if rerank is None:
+            return ranked.filter(F.col("rk") <= k)
+        cand_ids = ranked.filter(F.col("rk") <= rerank).select(
+            "query_id", "vec_id"
+        )
+        # exact pass over the R candidates only: the ve read stays inside
+        # the probed cells (partition-pruned) and the broadcast id list
+        # cuts it to Q x R rows before the cosine
+        exact = (
+            pruned.select("cell", "vec_id", "ve")
+            .join(F.broadcast(probe_map), "cell")
+            .join(F.broadcast(cand_ids), ["query_id", "vec_id"])
+            .join(F.broadcast(q_df), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine(F.col("ve"), F.col("qv")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        return exact.withColumn(
+            "rk", F.row_number().over(w2).cast("long")
         ).filter(F.col("rk") <= k)
 
 

@@ -171,3 +171,46 @@ def test_ivf_store_planted_recall_clustered(spark, clustered_dir, tmp_path):
     want = dict(pairs)
     hit = sum(1 for a, b in want.items() if top1.get(a) == b)
     assert hit / len(want) >= 0.9, (hit, len(want), top1)
+
+
+def test_ivfpq_rerank_recovers_coarse_quantization(spark, clustered_dir, tmp_path):
+    """The IVFPQ,Refine recipe pinned with its honest premise: on the
+    clustered corpus, plain ADC ranking with the 16-codeword sampled
+    codebook finds the planted 0.99-cosine partner in its top-10 for
+    only a MINORITY of anchors (measured 0.275 — coarse quantization is
+    lossy, that is the point of reranking), while ADC-200 candidates +
+    exact rerank return it as the TOP neighbor for >= 0.9 of anchors
+    (measured 0.975)."""
+    import os as _os
+
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.ivf_store import IvfIndexStore
+    from minibatch_spark.operators.similarity import as_double
+
+    sf_dir, pairs = clustered_dir
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve")
+    )
+    store = IvfIndexStore(spark, _os.path.join(str(tmp_path), "ivfpq"))
+    mid = N // 2
+    store.build(v.filter(F.col("vec_id") <= mid))
+    store.append(v.filter(F.col("vec_id") > mid))
+
+    anchors = sorted({a for a, _ in pairs})
+    q = v.filter(F.col("vec_id").isin(anchors)).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    want = dict(pairs)
+
+    plain = {}
+    for r in store.topk_adc(q, k=10, nprobe=2).collect():
+        plain.setdefault(r.query_id, set()).add(r.vec_id)
+    plain_hit = sum(1 for a, b in want.items() if b in plain.get(a, set()))
+    assert plain_hit / len(want) < 0.8  # the coarse stage alone is lossy
+
+    rer = {
+        r.query_id: r.vec_id
+        for r in store.topk_adc(q, k=1, nprobe=2, rerank=200).collect()
+    }
+    hit = sum(1 for a, b in want.items() if rer.get(a) == b)
+    assert hit / len(want) >= 0.9, (hit, len(want))
