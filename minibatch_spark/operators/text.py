@@ -1372,7 +1372,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression inside a lambda — the O(n²) HOF trap, mirrored in the
     oracle via list_transform over a materialized t). Document frequency
     is ONE map-side-combined two-phase distinct aggregation on the
-    8-byte shingle hash; the boiler set (df > {BOILERPLATE_DF}) is by
+    16-byte gram hash; the boiler set (df > {BOILERPLATE_DF}) is by
     construction ≤ |shingles|/{BOILERPLATE_DF} and skew-free, so AQE
     broadcasts it in the common case. Covered positions stay 16-byte
     (doc_id, pos) rows and the strip itself is a LEFT ANTI hash join on
@@ -1384,8 +1384,15 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id; covered-position rows are never deduplicated (anti join is
     multiplicity-blind — one shuffle saved).
 
-    Internal keys are xxhash64 (never surfaced; the oracle joins raw
-    gram strings), same stance as text_boilerplate_ngrams."""
+    Internal gram keys are 16-byte md5 (never surfaced; the oracle joins
+    raw gram strings). 128 bits is a correctness requirement, not style:
+    this operator DELETES tokens keyed on gram-hash equality, so a
+    64-bit collision between a rare gram and a boilerplate gram would
+    silently strip innocent prose — the same destructive-identity class
+    as docs_dedup_substrings (r7 VERDICT). The SCORER
+    text_boilerplate_ngrams keeps xxhash64: a collision there only
+    nudges a score, it deletes nothing. Pinned by tests/test_curation.py::
+    test_destructive_ops_use_wide_hash_identity."""
     d = spread(load_table(spark, sf_dir, "documents"))
     base = d.select("doc_id", tokens("text").alias("t")).select(
         "doc_id", "t", F.size("t").alias("n")
@@ -1403,7 +1410,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("n") >= 3)
         .select("doc_id", F.posexplode(grams).alias("p", "g"))
         .filter(F.col("g").isNotNull())
-        .select("doc_id", "p", F.xxhash64("g").alias("shh"))
+        .select("doc_id", "p", F.md5("g").alias("shh"))
     )
     boiler = (
         possh.groupBy("shh")

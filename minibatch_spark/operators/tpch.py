@@ -435,10 +435,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max()-over-window ignores nulls (matching MAX in the subquery) and
     # the explicit null-qualifies filter arms below keep null-smax
     # suppliers alive — a supplier-level smax>=others_max pre-filter
-    # would wrongly drop them.
+    # would wrongly drop them. NULL-SUPPKEY rows are excluded from every
+    # order-level window input (eff below): the oracle's correlated
+    # predicates all carry `l2/l3.l_suppkey <> l1.l_suppkey`, which is
+    # never TRUE for a null-suppkey row, so such lines can neither block
+    # (m1/m2/others_max) nor witness EXISTS (n_supp/n_top) — a
+    # late-shipping null-suppkey line raising m1 would wrongly exclude
+    # valid supplier lines (the r7 ADVICE latent divergence, now pinned
+    # by l_suppkey in the null sweep's NULLABLE set).
+    eff = F.when(F.col("l_suppkey").isNotNull(), F.col("l_shipdate"))
     e = (
         li.withColumn("smax", F.max("l_shipdate").over(w_os))
-        .withColumn("m1", F.max("l_shipdate").over(w_o))
+        .withColumn("m1", F.max(eff).over(w_o))
         .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w_o)))
         .withColumn(
             "n_top",
@@ -450,7 +458,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "m2",
-            F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax"))).over(w_o),
+            F.max(
+                F.when(
+                    F.col("l_suppkey").isNotNull()
+                    & (F.col("smax") < F.col("m1")),
+                    F.col("smax"),
+                )
+            ).over(w_o),
         )
         .withColumn(
             "others_max",

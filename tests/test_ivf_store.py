@@ -210,6 +210,10 @@ def test_compact_preserves_contents_and_survives_crash_windows(spark, tmp_path):
     assert snap() == before
     man = json.load(open(_os.path.join(s.vectors_path, "_compaction.json")))
     assert "base" in man["absorbed"]  # the build tag was absorbed
+    # ... and the crashed orphan base was garbage-collected (the r7
+    # ADVICE disk-leak window: orphans are invisible but, pre-fix, never
+    # deleted by any later compact)
+    assert not _os.path.exists(orphan)
 
     # crash window (b): resurrect an absorbed dir on disk — the manifest
     # must mask it
@@ -235,3 +239,74 @@ def test_compact_preserves_contents_and_survives_crash_windows(spark, tmp_path):
         .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"))
     )
     assert s.topk(q, k=3).count() == 3
+
+
+def test_append_to_absorbed_tag_raises(spark, tmp_path):
+    """An append reusing a tag name a compaction absorbed must fail
+    loudly: the manifest masks that name forever, so the write would be
+    silently invisible to every reader — data loss with no error (the
+    r7 ADVICE finding: a user-chosen 'base' tag on a rebuilt pipeline,
+    or streaming batch ids restarting at 0 after a checkpoint reset
+    that kept the store)."""
+    v = _vectors(spark)
+    h1, h2, h3 = _split(v, 3)
+    s = _store(spark, tmp_path, "absorbed")
+    s.build(h1)  # tag=base
+    s.append(h2, tag="shard2")
+    s.compact()  # absorbs 'base' and 'shard2'
+
+    with pytest.raises(ValueError, match="absorbed"):
+        s.append(h3, tag="base")
+    with pytest.raises(ValueError, match="absorbed"):
+        s.append(h3, tag="shard2")
+    # nothing leaked onto disk from the refused appends
+    n_before = s.vectors().count()
+    assert n_before == h1.count() + h2.count()
+    # a fresh (default uuid) tag still appends normally
+    s.append(h3)
+    assert s.vectors().count() == v.count()
+
+
+def test_train_crash_between_codebook_and_centroids_retrains(
+    spark, tmp_path, monkeypatch
+):
+    """The mid-train crash window (r7 ADVICE medium): the PQ codebook is
+    written BEFORE the centroids, so centroids/_SUCCESS is the terminal
+    commit marker — a crash between the two writes leaves the store
+    UNcommitted and the streaming-replay check retrains, instead of
+    treating a store with a missing/partial codebook as trained and
+    poisoning every subsequent append."""
+    import minibatch_spark.operators.ivf_store as mod
+
+    v = _vectors(spark)
+    s = _store(spark, tmp_path, "crashtrain")
+
+    real_tq = mod.train_quantizer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after codebook write")
+
+    monkeypatch.setattr(mod, "train_quantizer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        s.train(v, overwrite=True)
+    # the codebook landed (ordering: it is written first) ...
+    assert os.path.exists(os.path.join(s.codebook_path, "_SUCCESS"))
+    # ... but the store is NOT committed — the replay will retrain
+    assert not s.centroids_committed()
+
+    monkeypatch.setattr(mod, "train_quantizer", real_tq)
+    s.train(v, overwrite=True)  # the streaming replay path
+    assert s.centroids_committed()
+    s.append(v, tag="batch-0")
+    # appends code against the retrained codebook; contents equal a
+    # crash-free build+append on the same corpus
+    clean = _store(spark, tmp_path, "cleantrain")
+    clean.train(v)
+    clean.append(v, tag="batch-0")
+
+    def snap(st):
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.codes)) for r in st.vectors().collect()
+        )
+
+    assert snap(s) == snap(clean) and snap(s)

@@ -27,7 +27,7 @@ SEED = 77
 
 NULLABLE = {
     "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                 "l_returnflag", "l_shipdate"],
+                 "l_returnflag", "l_shipdate", "l_suppkey"],
     "orders": ["o_totalprice", "o_orderdate", "o_orderpriority", "o_orderstatus"],
     "customer": ["c_acctbal", "c_mktsegment"],
     "supplier": ["s_acctbal"],
