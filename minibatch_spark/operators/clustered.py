@@ -1,0 +1,351 @@
+"""Clustered-regime ANN queries under the DuckDB hash gate (r7 VERDICT
+Missing #2 / Next-round #4).
+
+The driver's ``embeddings`` table is near-isotropic (pairwise cosine
+~N(0, 1/sqrt(dim))), which is structurally unable to exhibit the regime
+production embeddings live in — tight clusters with planted near-dups —
+so until round 8 the clustered-regime evidence (recall pins, candidate
+pruning) lived only in pytest + the SCALE_AUDIT_CLUSTERED artifacts over
+the out-of-gate mixture-of-Gaussians corpus. This module puts the regime
+under the SAME oracle hash gate as everything else by deriving a
+DETERMINISTIC clustered view from the gate's own embeddings table — the
+md5-derived-model trick text_classifier_score established, applied to
+geometry:
+
+    grp(vec_id)      = vec_id // CLUST_BUCKET     (corpus-scaled!)
+    center(label, grp)[d]
+                     = (md5_int32("cc:{label}:{grp}:{d}") % 2001
+                        - 1000) / 1000
+    s(vec_id)        = SHRINK if vec_id % 7 == 0 else 1.0
+    cv[d] = ROUND((center[d] + ALPHA * s * v[d]) / sqrt(d), 6)
+
+Every ingredient is engine-replayable (md5 arithmetic, literal
+constants, 6dp rounding), so DuckDB reproduces the corpus bit-for-bit
+and the hash gate covers construction + banding + probing + verify.
+Geometry (measured on the sf0.01/sf0.1 tables, pinned in
+tests/test_clustered_queries.py):
+
+- clusters are (label, vec_id // CLUST_BUCKET) cells: cluster COUNT
+  grows linearly with the corpus while cluster SIZE stays ~constant
+  (~CLUST_BUCKET/10 rows) — the production regime gen_clustered_emb
+  models, and the property that keeps planted-pair counts LINEAR in n
+  (a fixed 10-label derivation would grow them quadratically and
+  re-create the output_bound class in the scale audit).
+- center norm ~1.26 after the (d)^-0.5 front-loading decay (the
+  MRL-like spectrum, norm_frac ~0.9 at 16/64).
+- residual scale ALPHA*|v| ~0.54 for ordinary rows -> within-cluster
+  cosine ~0.84; cross-cluster ~|±0.12| — clearly separated clusters.
+- every 7th vec_id carries a SHRUNK residual (s=0.15): two shrunk rows
+  of one cluster sit at cosine ~0.996 — the PLANTED NEAR-DUPS — while
+  a shrunk-ordinary pair is ~0.915. CLUST_THRESHOLD=0.95 selects
+  exactly the planted set with wide margins on both sides.
+
+No reference analog: the reference has no vector surface at all
+(/root/reference/README.rst:315-322)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minibatch_spark.catalog import load_table, spread
+from minibatch_spark.operators.similarity import (
+    _bucket_sql_expr,
+    as_double,
+    banded_near_dup_pairs,
+    cosine,
+)
+from minibatch_spark.registry import query
+
+ALPHA = 2.0  # residual scale: ordinary rows orbit their center at ~0.84
+SHRINK = 0.15  # every-7th-row residual shrink -> planted dups at ~0.996
+CLUST_BUCKET = 350  # vec_id bucket width: ~35-row clusters at any n
+CLUST_BANDS = 6  # 6 bands x 16 bits = 96 planes — the WIDE banding the
+CLUST_BITS = 16  # clustered audit measures: planted pairs (cos ~0.996,
+#                  per-plane agreement p ~ 0.971) survive a 16-bit band
+#                  w.p. p^16 ~ 0.63, so recall ~ 1-(0.37)^6 ~ 0.997 —
+#                  while near-orthogonal cross-cluster pairs (p ~ 0.5)
+#                  collide at ~0.5^16 x 6 ~ 1e-4: the quadratic cross-
+#                  pair floor that an 8-bit banding leaves at ~3%
+#                  (scale-INVARIANT per pair, hence quadratic candidate
+#                  growth) drops four orders of magnitude, keeping the
+#                  sf0.1 -> sf1 candidate count linear in the audit
+CLUST_THRESHOLD = 0.95
+CLUST_NPROBE = 2
+
+# the deterministic clustered corpus, as a DuckDB CTE body over the
+# gate's embeddings view. embedding[d] is a plain column subscript (the
+# HOF-safe form); everything else is literals + md5 arithmetic.
+_CLUSTERED_SQL = f"""
+  SELECT vec_id, label,
+         list_transform(generate_series(1, len(embedding)),
+           d -> ROUND((
+                  (CAST(('0x' || substring(md5('cc:' || CAST(label AS VARCHAR)
+                         || ':' || CAST(vec_id // {CLUST_BUCKET} AS VARCHAR)
+                         || ':' || CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0
+                  + {ALPHA} * (CASE WHEN vec_id % 7 = 0
+                               THEN {SHRINK} ELSE 1.0 END)
+                    * CAST(embedding[d] AS DOUBLE)
+                ) / sqrt(d), 6)) AS cv
+  FROM embeddings
+"""
+
+
+def clustered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cv array<double>) — the clustered corpus derived
+    from the embeddings table, bit-identical to _CLUSTERED_SQL. Shuffle-
+    free projection; the md5 center components are computed per element
+    inside the transform (they depend on the lambda index, so per-element
+    is inherent, and md5-per-element is the cost signature_udf's oracle
+    already pays). The shrink factor is STAGED through a select before
+    the lambda (the outer-derived-expression HOF trap)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    s = (
+        F.when(F.col("vec_id") % 7 == 0, F.lit(SHRINK))
+        .otherwise(F.lit(1.0))
+        .alias("s")
+    )
+    grp = (
+        F.floor(F.col("vec_id") / CLUST_BUCKET).cast("long").alias("grp")
+    )
+    base = e.select(
+        "vec_id", "label", as_double("embedding").alias("ve"), s, grp
+    )
+
+    def center(i):  # i: 0-based element index Column
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cc:"),
+                        F.col("label").cast("string"),
+                        F.lit(":"),
+                        F.col("grp").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    cv = F.transform(
+        F.col("ve"),
+        lambda x, i: F.round(
+            (center(i) + F.lit(ALPHA) * F.col("s") * x)
+            / F.sqrt((i + F.lit(1)).cast("double")),
+            6,
+        ),
+    )
+    return base.select("vec_id", "label", cv.alias("cv"))
+
+
+@query(
+    "emb_clustered_near_dup_pairs",
+    oracle=f"""
+    WITH cl AS ({_CLUSTERED_SQL}),
+    sig AS (
+      SELECT vec_id, cv AS ve,
+        {_bucket_sql_expr(CLUST_BANDS * CLUST_BITS, col="cv")} AS bucket
+      FROM cl
+    ), bands AS (
+      SELECT vec_id, ve, b.b AS band_id,
+             substring(bucket, b.b * {CLUST_BITS} + 1, {CLUST_BITS})
+               AS band_key
+      FROM sig CROSS JOIN
+        (SELECT unnest(generate_series(0, {CLUST_BANDS - 1})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_cosine_similarity(sa.ve, sb.ve), 6) AS cos_sim
+    FROM cand c
+    JOIN sig sa ON sa.vec_id = c.vec_a
+    JOIN sig sb ON sb.vec_id = c.vec_b
+    WHERE ROUND(list_cosine_similarity(sa.ve, sb.ve), 6)
+          >= {CLUST_THRESHOLD}
+    """,
+)
+def emb_clustered_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """High-threshold near-dup pairs on the CLUSTERED corpus — the
+    production dedup regime, hash-gated end to end: the oracle replays
+    corpus construction, 64-plane signatures, 8x8 banding, and the exact
+    cosine verify. Banding prunes here the way the isotropic registered
+    query (emb_near_dup_pairs) structurally cannot: planted pairs at
+    cosine ~0.996 survive banding w.p. ~0.9999 while ~99% of
+    cross-cluster pairs never become candidates (measured candidate
+    fraction pinned in tests/test_clustered_queries.py, vs the isotropic
+    corpus's 51%). Plan shape is banded_near_dup_pairs unchanged —
+    per-(band, key) candidate join, vec_id verify joins, no cross join."""
+    cl = clustered_view(spark, sf_dir)
+    head = cl.select("cv").first()
+    if head is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double"
+        )
+    return banded_near_dup_pairs(
+        cl.select("vec_id", F.col("cv").alias("v")),
+        dim=len(head.cv),
+        n_bands=CLUST_BANDS,
+        band_bits=CLUST_BITS,
+        threshold=CLUST_THRESHOLD,
+        stage_name="clustered-neardup-sig",
+    )
+
+
+@query(
+    "ann_ivf_topk_clustered",
+    oracle=f"""
+    WITH cl AS ({_CLUSTERED_SQL}),
+    q AS (
+      SELECT cv AS qv FROM cl ORDER BY vec_id LIMIT 1
+    ), cexp AS (
+      SELECT label,
+             unnest(generate_series(1, len(cv))) AS dim,
+             unnest(cv) AS val
+      FROM cl
+    ), cent AS (
+      SELECT label, list(ROUND(avg_val, 6) ORDER BY dim) AS ctr
+      FROM (SELECT label, dim, SUM(val) / COUNT(*) AS avg_val
+            FROM cexp GROUP BY label, dim)
+      GROUP BY label
+    ), probes AS (
+      SELECT label FROM cent, q
+      ORDER BY ROUND(list_cosine_similarity(ctr, qv), 6) DESC, label
+      LIMIT {CLUST_NPROBE}
+    )
+    SELECT c.vec_id, c.label,
+           ROUND(list_cosine_similarity(c.cv, q.qv), 6) AS cos_sim
+    FROM cl c, q
+    WHERE c.label IN (SELECT label FROM probes)
+      AND c.vec_id <> (SELECT MIN(vec_id) FROM cl)
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe on the clustered corpus: label cells ARE the true
+    cluster structure here, so nprobe=2 of 10 cells is the honest IVF
+    trade measured where it means something — the query's own cluster
+    holds its true neighbors (recall vs brute force pinned in
+    tests/test_clustered_queries.py; on the isotropic ann_ivf_topk the
+    same shape is plumbing-correct but cells are arbitrary). Same scale
+    stance as ann_ivf_topk: at 100 TB the corpus is partitioned by cell
+    id and probes prune partitions (ivf_store makes that literal)."""
+    import numpy as np
+
+    cl = clustered_view(spark, sf_dir)
+    qrow = cl.orderBy("vec_id").select("vec_id", "cv").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cos_sim double"
+        )
+    qv_np = np.asarray(qrow.cv, dtype=np.float64)
+
+    cent_rows = (
+        cl.select("label", F.posexplode("cv").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r.label, {})[r.pos] = r.c
+
+    def cos(c: dict) -> float:
+        ctr = np.array([c[i] for i in sorted(c)])
+        return round(
+            float(
+                ctr @ qv_np / (np.linalg.norm(ctr) * np.linalg.norm(qv_np))
+            ),
+            6,
+        )
+
+    probes = [
+        lbl
+        for lbl, _ in sorted(
+            ((lbl, cos(c)) for lbl, c in by_label.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:CLUST_NPROBE]
+    ]
+    qv = F.array(*[F.lit(float(x)) for x in qrow.cv])
+    sim = F.round(cosine(F.col("cv"), qv), 6)
+    return (
+        cl.filter(
+            F.col("label").isin(probes) & (F.col("vec_id") != qrow.vec_id)
+        )
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+CLUST_MRL_DIM = 16  # cascade head width on the 64-dim clustered corpus
+CLUST_CASCADE_DEPTH = 50
+
+
+@query(
+    "ann_cascade_topk_clustered",
+    oracle=f"""
+    WITH cl AS ({_CLUSTERED_SQL}),
+    v AS (
+      SELECT vec_id, label, cv AS e, cv[1:{CLUST_MRL_DIM}] AS he FROM cl
+    ), q AS (
+      SELECT e AS qe, he AS qh FROM v ORDER BY vec_id LIMIT 1
+    ), coarse AS (
+      SELECT v.vec_id FROM v, q
+      WHERE v.vec_id <> (SELECT MIN(vec_id) FROM v)
+      ORDER BY ROUND(list_cosine_similarity(v.he, q.qh), 6) DESC, v.vec_id
+      LIMIT {CLUST_CASCADE_DEPTH}
+    )
+    SELECT v.vec_id, v.label,
+           ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cos_sim
+    FROM v JOIN coarse ON v.vec_id = coarse.vec_id, q
+    ORDER BY cos_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cascade_topk_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Matryoshka two-stage cascade measured on a FRONT-LOADED
+    corpus: the (d)^-0.5 spectrum concentrates ~0.9 of each vector's
+    energy in the 16-dim head, so the truncated coarse pass actually
+    ranks well and the 50-candidate exact rerank recovers the brute-
+    force top-10 (equality pinned in tests/test_clustered_queries.py —
+    the r6 diagnostics operator's missing converse, now under the hash
+    gate). Plan identical to ann_cascade_topk: shuffle-free coarse scan
+    -> TakeOrderedAndProject -> 50-row id broadcast -> exact rerank."""
+    cl = clustered_view(spark, sf_dir)
+    qrow = cl.orderBy("vec_id").select("vec_id", "cv").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cos_sim double"
+        )
+    qh = F.array(*[F.lit(float(x)) for x in qrow.cv[:CLUST_MRL_DIM]])
+    qe = F.array(*[F.lit(float(x)) for x in qrow.cv])
+    he = F.slice(F.col("cv"), 1, CLUST_MRL_DIM)
+    coarse = (
+        cl.filter(F.col("vec_id") != qrow.vec_id)
+        .select("vec_id", F.round(cosine(he, qh), 6).alias("hsim"))
+        .orderBy(F.desc("hsim"), F.asc("vec_id"))
+        .limit(CLUST_CASCADE_DEPTH)
+        .select("vec_id")
+    )
+    sim = F.round(cosine(F.col("cv"), qe), 6)
+    return (
+        cl.join(F.broadcast(coarse), "vec_id")
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

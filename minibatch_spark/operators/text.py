@@ -1681,3 +1681,106 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "it long, pair string, merged string, cnt long"
     )
+
+
+def bpe_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single corpus-sized pass of BPE training: the word-frequency
+    table (word, freq) — map-side combined, |vocab| rows (sublinear in
+    corpus size under Heaps' law). Shared by the oracle-backed
+    text_bpe_train_merges (distributed per-merge loop, BPE_MERGES
+    iterations) and train_bpe_merges (driver-local loop for realistic
+    merge counts)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def train_bpe_merges(vocab_df: DataFrame, n_merges: int) -> list:
+    """Driver-local BPE merge loop for REALISTIC merge counts (a 32k-
+    vocab tokenizer needs ~32k merges; the r7 VERDICT #5 item).
+
+    Division of labor: the distributed work is ONE corpus pass — the
+    word-frequency aggregate (bpe_word_vocab, |vocab| rows) — and the
+    merge loop runs on the COLLECTED vocab with the classic
+    incremental-pair-count + lazy-deletion-heap algorithm (Sennrich et
+    al.'s reference implementation shape): per merge, only the words
+    containing the merged pair are re-segmented and only their pair
+    counts move. The collect is bounded by |vocab| — the same standard
+    as the kmeans/PQ trainers' bounded sample collects — and at ~1k
+    merges this runs ~3 orders of magnitude faster than 1k distributed
+    argmax jobs (each of which pays fixed job-scheduling latency; the
+    per-merge Spark loop in text_bpe_train_merges is the right shape
+    ONLY while the vocab stays distributed, i.e. for the oracle-unrolled
+    BPE_MERGES=6 gate).
+
+    Semantics are IDENTICAL to text_bpe_train_merges, pinned by
+    tests/test_text_ops.py::test_train_bpe_merges_matches_distributed:
+    argmax by (count desc, pair-string asc) and left-to-right
+    non-overlapping re-segmentation (equal to the operator's
+    boundary-safe two-pass literal replace — see its docstring for why
+    two passes are exact). Returns [(it, pair, merged, cnt), ...] with
+    the same column meaning as the operator's rows; stops early when no
+    adjacent pair remains, matching the operator's empty-argmax break."""
+    import heapq
+    from collections import defaultdict
+
+    rows = vocab_df.select("word", "freq").collect()  # bounded: |vocab|
+    segs = [list(r.word) for r in rows]
+    freqs = [int(r.freq) for r in rows]
+
+    pair_cnt: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for wi, s in enumerate(segs):
+        f = freqs[wi]
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pair_cnt[p] += f
+            pair_words[p].add(wi)
+    heap = [(-c, f"{a} {b}", (a, b)) for (a, b), c in pair_cnt.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    for it in range(1, n_merges + 1):
+        # lazy deletion: pop stale entries (count changed since push),
+        # re-pushing the corrected count so no live pair is ever lost
+        while heap:
+            negc, pstr, p = heap[0]
+            cur = pair_cnt.get(p, 0)
+            if cur == -negc and cur > 0:
+                break
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, pstr, p))
+        if not heap:
+            break
+        negc, pstr, (a, b) = heapq.heappop(heap)
+        merged = a + b
+        merges.append((it, pstr, merged, -negc))
+        for wi in list(pair_words.get((a, b), ())):
+            s = segs[wi]
+            f = freqs[wi]
+            for j in range(len(s) - 1):
+                pair_cnt[(s[j], s[j + 1])] -= f
+            ns = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    ns.append(merged)
+                    j += 2
+                else:
+                    ns.append(s[j])
+                    j += 1
+            segs[wi] = ns
+            for j in range(len(ns) - 1):
+                q = (ns[j], ns[j + 1])
+                pair_cnt[q] += f
+                pair_words[q].add(wi)
+                heapq.heappush(
+                    heap, (-pair_cnt[q], f"{q[0]} {q[1]}", q)
+                )
+        pair_cnt.pop((a, b), None)
+        pair_words.pop((a, b), None)
+    return merges

@@ -41,6 +41,7 @@ def _load_all() -> None:
     # Import for registration side effects.
     from minibatch_spark.operators import (  # noqa: F401
         analytics,
+        clustered,
         curation,
         dedup,
         incremental,

@@ -43,6 +43,7 @@ operators' semantics onto its streaming consume-once contract
 from __future__ import annotations
 
 import os
+import uuid
 from typing import TYPE_CHECKING, Callable, Optional
 
 from pyspark.sql import functions as F
@@ -90,11 +91,120 @@ class CurateStore:
     # snapshot/rollback plumbing shared with the minhash store
     _files = staticmethod(MinhashDedupStore._files)
 
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.store_dir, "_compaction.json")
+
+    def _manifest(self) -> "dict | None":
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    def _roots(self) -> dict:
+        return {
+            "facts": (self.facts_dir, _FACT_SCHEMA),
+            "shingles": (self.shingles_dir, _SHINGLE_SCHEMA),
+            "edges": (self.edges_dir, _EDGE_SCHEMA),
+        }
+
     def _read(self, path: str, schema: str) -> "DataFrame":
+        """Committed view of one root: the compacted base (when a
+        manifest exists) plus every raw file the manifest does not cover.
+        Covered-file masking is realpath-normalized on both sides (the
+        minhash store's relative-path lesson), so a store reopened from
+        another cwd never resurfaces absorbed files as delta."""
+        man = self._manifest()
         files = self._files(path)
+        if man is not None:
+            name = os.path.basename(path)
+            covered = {
+                os.path.realpath(f) for f in man["covered"].get(name, [])
+            }
+            files = [f for f in files if os.path.realpath(f) not in covered]
+            files = (
+                self._files(
+                    os.path.join(self.store_dir, f"compacted-{man['id']}", name)
+                )
+                + files
+            )
         if files:
             return self.spark.read.schema(schema).parquet(*files)
         return self.spark.createDataFrame([], schema)
+
+    def compact(self) -> None:
+        """Rewrite the accumulated per-batch tag dirs (facts, shingles,
+        edges) into ONE base per root — a thousand-micro-batch streaming
+        run otherwise accretes a tag dir per batch in all three roots
+        forever (the r7 VERDICT #6 gap; the minhash and IVF stores
+        already grew this). Crash safety by ORDERING, the ivf_store
+        recipe re-expressed over file-list snapshots: (1) the merged
+        bases are written under ``compacted-<id>/`` which no reader
+        resolves until referenced, (2) the manifest (tmp + atomic
+        os.replace) flips readers to base+uncovered-delta in one step,
+        (3) covered raw files, the previous base, and any orphan base a
+        crashed earlier compact left behind become garbage deleted last.
+        A crash at any point leaves readers seeing exactly the pre- or
+        post-compaction contents — never duplicates, never a partial
+        base (report() bit-identity across the flip is test-pinned).
+        Run it BETWEEN batches only, like the minhash store's
+        compact_bands: a streaming batch's append must stay rollbackable
+        until its checkpoint commits, and an absorbed tag cannot be
+        rolled back (re-appending one raises in process_batch)."""
+        import json
+        import shutil
+
+        roots = self._roots()
+        snap = {n: self._files(p) for n, (p, _) in roots.items()}
+        prev = self._manifest()
+        if not any(snap.values()) and prev is None:
+            return  # nothing to merge
+        cid = uuid.uuid4().hex[:12]
+        out_root = os.path.join(self.store_dir, f"compacted-{cid}")
+        for n, (p, schema) in roots.items():
+            self._read(p, schema).write.parquet(
+                os.path.join(out_root, n), mode="overwrite"
+            )
+        absorbed = set(prev["absorbed_tags"]) if prev else set()
+        covered = {}
+        for n, files in snap.items():
+            covered[n] = sorted(os.path.realpath(f) for f in files)
+            for f in files:
+                top = os.path.relpath(f, roots[n][0]).split(os.sep)[0]
+                if top.startswith("tag="):
+                    absorbed.add(top[len("tag="):])
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"id": cid, "covered": covered,
+                 "absorbed_tags": sorted(absorbed)},
+                f,
+            )
+        os.replace(tmp, self._manifest_path)  # the atomic flip
+        # gc (all masked already): covered tag dirs + flat part files ...
+        for n, files in snap.items():
+            root = roots[n][0]
+            for f in files:
+                top = os.path.relpath(f, root).split(os.sep)[0]
+                if top.startswith("tag="):
+                    shutil.rmtree(
+                        os.path.join(root, top), ignore_errors=True
+                    )
+                else:
+                    try:
+                        os.unlink(f)
+                    except FileNotFoundError:
+                        pass
+        # ... and every other compacted-* dir: the previous base (its
+        # contents live in the new one) and orphans from crashed compacts
+        for d in os.listdir(self.store_dir):
+            if d.startswith("compacted-") and d != f"compacted-{cid}":
+                shutil.rmtree(
+                    os.path.join(self.store_dir, d), ignore_errors=True
+                )
 
     def _append_dir(self, root: str, batch_tag: "str | None") -> str:
         if batch_tag is None:
@@ -126,6 +236,25 @@ class CurateStore:
         """Ingest one shard: ``docs`` has (doc_id, text, source) columns.
         Appends the shard's fact rows, shingle sets, and the verified
         near-dup edges its docs add against (store ∪ shard)."""
+        man = self._manifest()
+        if (
+            batch_tag is not None
+            and man
+            and batch_tag in set(man.get("absorbed_tags", []))
+        ):
+            # the tag's original rows live on in the compacted base, and
+            # a re-append's NEW files are not in the covered list, so
+            # they would surface alongside them — duplicated rows that
+            # rollback() can no longer remove (the tag dir is not the
+            # data any more). Happens when streaming batch ids restart
+            # at 0 after a checkpoint reset that kept the store. Fail
+            # loudly (the ivf_store absorbed-tag contract).
+            raise ValueError(
+                f"CurateStore.process_batch: tag {batch_tag!r} was "
+                "absorbed by a compaction — re-appending it would "
+                "duplicate its rows and cannot be rolled back. Use a "
+                "fresh checkpoint (new batch ids) or a fresh store."
+            )
         self._batch += 1
         # snapshot BEFORE appending (append-immune lineage, same reason
         # as MinhashDedupStore._read)
@@ -181,9 +310,25 @@ class CurateStore:
     ) -> "DataFrame":
         """Verified jaccard >= t pairs with at least one side in the
         batch: batch prefixes join (store ∪ batch) prefixes on the
-        shingle hash with the All-Pairs size filter, then exact
-        array_intersect verify — the dedup_ngram_jaccard recipe with the
-        df-order prefix swapped for stable hash order."""
+        shingle hash with the All-Pairs size filter, then an exact
+        co-occurrence-count verify — the dedup_ngram_jaccard recipe with
+        the df-order prefix swapped for stable hash order.
+
+        GIANT-ROW discipline (the r7 VERDICT What's-wrong #3, the same
+        shape the r6 skew audit caught in batch dedup_containment_pairs):
+        the verify must NOT join each candidate pair to both full shingle
+        arrays — a 100k-word doc arriving in a shard would ship its
+        ~100k-element array once per candidate pair. Instead the SMALLER
+        side's shingles explode into probe rows and co-occurrence is
+        counted against the larger side's 8-byte (doc, shingle) posting
+        rows: exchange rows = Σ min(|A|,|B|) over pairs, per-pair cost
+        O(min), and no wide array ever moves — a giant doc is a candidate
+        magnet but never a bandwidth problem. |A∩B| counted this way
+        equals size(array_intersect) exactly because the shingle sets are
+        DISTINCT (shingles_of) — pinned bit-identical to the batch edge
+        set in tests/test_streaming_curate.py, and the streaming skew
+        audit (tools/skew_stream_audit.py) measures it on the giant-doc
+        corpus."""
         both = standing.unionByName(batch_sh)
 
         def prefix(df):
@@ -210,21 +355,55 @@ class CurateStore:
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        sa = both.select(
-            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-            F.col("n").alias("n_a"),
+        sizes = both.select("doc_id", "n")
+        sized = (
+            cand.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "small_id",
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+                    F.col("doc_b")
+                ),
+            )
+            .withColumn(
+                "big_id",
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_b")).otherwise(
+                    F.col("doc_a")
+                ),
+            )
         )
-        sb = both.select(
-            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-            F.col("n").alias("n_b"),
+        # probe rows = the SMALLER side's shingles only; the larger side
+        # participates as 8-byte posting rows, never arrays
+        probes = sized.join(
+            both.select(F.col("doc_id").alias("small_id"), "sh"), "small_id"
+        ).select(
+            "doc_a", "doc_b", "n_a", "n_b", "big_id",
+            F.explode("sh").alias("sh1"),
         )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-        return (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(jac >= NGRAM_JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b")
+        posting = both.select("doc_id", F.explode("sh").alias("sh1"))
+        common = (
+            probes.join(
+                posting.select(F.col("doc_id").alias("big_id"), "sh1"),
+                ["big_id", "sh1"],
+            )
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        jac = F.col("i").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("i")
+        )
+        return common.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
         )
 
     # -- the global (report-time) steps -----------------------------------
