@@ -1530,3 +1530,159 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "ann_topk_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sc AS (
+      SELECT vec_id, label,
+             list_max(list_transform(e, x -> abs(x))) AS qscale, e
+      FROM v
+    ), c AS (
+      SELECT vec_id, label, qscale,
+             list_transform(e,
+               x -> CAST(floor(x * 127.0 / qscale + 0.5) AS BIGINT)) AS codes
+      FROM sc WHERE qscale > 0
+    ), q AS (
+      SELECT codes AS qc, qscale AS qs, vec_id AS qid
+      FROM c ORDER BY vec_id LIMIT 1
+    ), scored AS (
+      SELECT c.vec_id, c.label, c.qscale, q.qs,
+             CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+                  i -> c.codes[i] * q.qc[i])) AS BIGINT) AS dot_codes
+      FROM c, q
+      WHERE c.vec_id <> q.qid
+    )
+    SELECT vec_id, label, dot_codes,
+           ROUND(dot_codes * qscale * qs / 16129.0, 6) AS score
+    FROM scored
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by inner product over the INT8-QUANTIZED
+    corpus — the memory-bound scoring path emb_quantize_int8's 4x cut
+    buys: codes are int8-range integers, the query's codes are inlined
+    literals, and the score is an exact INTEGER dot product de-quantized
+    by the two scales (dot * qscale_v * qscale_q / 127^2). Integer
+    arithmetic is associativity-proof, so dot_codes matches the oracle
+    bit-for-bit with no rounding contract; only the final de-quantized
+    score needs the usual 6dp round.
+
+    Plan: same shuffle-free scan + TakeOrderedAndProject as
+    ann_topk_bruteforce — at 100 TB the scan reads the 4x-smaller code
+    column instead of the float vectors (with a columnar store the
+    full-precision embedding is simply never read; int8 rescoring +
+    exact rerank of the short list is the standard serving recipe, and
+    the rerank half is ann_cascade_topk's broadcast-back shape).
+    Approximation quality vs the exact path is pinned in
+    tests/test_similarity.py (numpy bit-replay of the integer math +
+    top-10 overlap with brute force)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = as_double("embedding")
+    st = (
+        e.select("vec_id", "label", v.alias("e"))
+        .withColumn(
+            "qscale", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+        )
+        .filter(F.col("qscale") > 0)
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor(x * 127.0 / F.col("qscale") + 0.5).cast(
+                    "long"
+                ),
+            ),
+        )
+    )
+    qrow = st.orderBy("vec_id").select("vec_id", "codes", "qscale").first()
+    if qrow is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_id long, label int, dot_codes long, score double"
+        )
+    qc = F.array(*[F.lit(int(c)) for c in qrow.codes])
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), qc, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        dot.cast("double")
+        * F.col("qscale")
+        * F.lit(float(qrow.qscale))
+        / F.lit(16129.0),
+        6,
+    )
+    return (
+        st.filter(F.col("vec_id") != qrow.vec_id)
+        .select(
+            "vec_id",
+            "label",
+            dot.alias("dot_codes"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+RANGE_COS = 0.3  # range-search radius: ~99.2th pct of this corpus's
+#                  near-isotropic cosine distribution (std ~ 1/sqrt(64)),
+#                  so each query returns a small non-empty neighbor set
+#                  at test scale; real corpora use task-derived radii
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+             AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+      AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+          >= {RANGE_COS}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search (the FAISS range_search analog next to the top-k
+    family): ALL neighbors within cosine >= RANGE_COS for each of 8
+    query vectors, in one corpus pass. Top-k answers "the best k";
+    range search answers "everything this similar" — the dedup/recall
+    primitive when the neighbor COUNT is the unknown (e.g. finding every
+    paraphrase of a benchmark question, where k would truncate or pad).
+
+    Plan: strictly LIGHTER than ann_topk_batch — the broadcast query
+    batch scores map-side and the radius is a FILTER, so there is no
+    window, no rank, and NO SHUFFLE AT ALL: scan -> broadcast join ->
+    filter -> output (plan-guarded shuffle-free). At 100 TB that is one
+    corpus read with output bounded by the true neighbor count;
+    compose with ann_lsh_buckets / the IVF store to prune the scan when
+    the radius is tight."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(as_double("embedding"), as_double("qe")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.filter(F.col("cos_sim") >= RANGE_COS)

@@ -1563,12 +1563,12 @@ BPE_MERGES = 6  # fixed merge count so the oracle unrolls finitely — the
 #                 to tokenizer training
 
 
-def _bpe_oracle(m: int = BPE_MERGES) -> str:
-    """DuckDB replay of the FULL BPE training loop, merge by merge: each
-    iteration's pair counts, argmax pick (ties to the lexicographically
-    smallest pair), and boundary-safe two-pass literal replace unroll
-    into one CTE chain — a hash match proves every merge decision, not
-    just the last state."""
+def _bpe_blocks(m: int = BPE_MERGES) -> list:
+    """The shared CTE chain replaying BPE training: w0 (char-segmented
+    word-frequency vocab) and, per merge i, p{i} (pair counts), b{i}
+    (argmax pick) and w{i} (re-segmented vocab). Used by the trainer
+    oracle (_bpe_oracle) and the tokenizer-application oracle
+    (text_bpe_apply)."""
     blocks = [
         r"""w0 AS (
       SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1597,6 +1597,16 @@ def _bpe_oracle(m: int = BPE_MERGES) -> str:
                      ' ' || replace(b.pair, ' ', '') || ' ') AS sym
       FROM w{i-1} w CROSS JOIN b{i} b
     )""")
+    return blocks
+
+
+def _bpe_oracle(m: int = BPE_MERGES) -> str:
+    """DuckDB replay of the FULL BPE training loop, merge by merge: each
+    iteration's pair counts, argmax pick (ties to the lexicographically
+    smallest pair), and boundary-safe two-pass literal replace unroll
+    into one CTE chain — a hash match proves every merge decision, not
+    just the last state."""
+    blocks = _bpe_blocks(m)
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS it, pair,"
         f" replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt"
@@ -1784,3 +1794,106 @@ def train_bpe_merges(vocab_df: DataFrame, n_merges: int) -> list:
         pair_cnt.pop((a, b), None)
         pair_words.pop((a, b), None)
     return merges
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + ", ".join(_bpe_blocks())
+    + f"""
+    , seg AS (
+      SELECT word,
+             CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS np
+      FROM w{BPE_MERGES}
+    ), dw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ), per AS (
+      SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(seg.np) AS BIGINT) AS n_bpe
+      FROM dw JOIN seg USING (word) GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN p.n_words > 0
+                THEN ROUND(p.n_bpe * 1.0 / p.n_words, 6) END AS fertility
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+)
+
+
+@query("text_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the inference half of
+    text_bpe_train_merges: segment every document with the learned
+    BPE_MERGES merge rules and report per-doc (n_words, n_bpe_tokens,
+    fertility = bpe tokens per word) — the token-count pass a training
+    pipeline runs to budget sequence packing after switching tokenizers.
+
+    100 TB design: the corpus pass is the word-frequency aggregate
+    (bpe_word_vocab) + one exploded-word aggregation keyed on doc_id —
+    the per-WORD segmentation work happens once per DISTINCT word on the
+    |vocab|-row table (sublinear in corpus size under Heaps' law), never
+    once per occurrence: the merge rules are applied as the same chained
+    two-pass literal replaces the trainer uses (codegen'd string
+    expressions, no UDF), and documents join the segmented vocab on the
+    word key (AQE broadcasts the vocab side when it fits, which a
+    bounded-vocab tokenizer table always does in production — fastText/
+    BPE vocab tables are MBs). The merge rules come from the
+    driver-local trainer (train_bpe_merges, bounded |vocab| collect —
+    pinned equal to the distributed trainer's decisions in
+    tests/test_bpe.py), so the rules and the application are exactly
+    the pair a real pipeline ships. The oracle replays training AND
+    application in one CTE chain (shared _bpe_blocks)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = stage(
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("sym"),
+        ),
+        "bpe-apply-vocab",
+    )
+    merges = train_bpe_merges(vocab, BPE_MERGES)
+    seg = vocab
+    for _it, pair, merged, _cnt in merges:
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        seg = seg.withColumn(
+            "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+        )
+    seg = seg.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("np"),
+    )
+    dw = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    per = (
+        dw.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_bpe"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("n_bpe"), F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("n_bpe").cast("double") / F.col("n_words"), 6
+                ),
+            ).alias("fertility"),
+        )
+    )

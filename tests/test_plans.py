@@ -778,3 +778,43 @@ def test_classifier_score_broadcast_model_one_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_clustered_cascade_take_ordered_and_broadcast(spark):
+    """ann_cascade_topk_clustered keeps the cascade plan shape on the
+    derived clustered corpus: both stages end in TakeOrderedAndProject
+    (no global sort) and the 50-row coarse id list broadcasts back onto
+    the corpus scan."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("ann_cascade_topk_clustered")(spark, SF_SMOKE)
+    assert_in_plan(df, "TakeOrderedAndProject", "BroadcastHashJoin")
+    assert "Sort [" not in explain_str(df).replace("TakeOrderedAndProject", "")
+
+
+def test_clustered_near_dup_no_cartesian(spark):
+    """emb_clustered_near_dup_pairs keeps the banded-LSH candidate plan:
+    per-(band, key) equi-join candidates, never a cross join — the wide
+    banding changes plane count, not plan shape."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("emb_clustered_near_dup_pairs")(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_search_shuffle_free(spark):
+    """ann_range_search: scan -> broadcast join -> filter, no SEMANTIC
+    exchange — strictly lighter than the top-k family (no window, no
+    rank). The only allowed Exchanges are spread()'s RoundRobin
+    repartition (the single-row-group testdata workaround, a no-op at
+    scale) — any hashpartitioning exchange means a window/agg crept in."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("ann_range_search")(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -412,3 +412,43 @@ def test_cascade_results_come_from_coarse_candidates(spark):
     if full[0].vec_id in coarse_ids:
         assert cascade[0].vec_id == full[0].vec_id
         assert cascade[0].cos_sim == full[0].cos_sim
+
+
+def test_int8_topk_matches_numpy_and_overlaps_bruteforce(spark, duck):
+    """ann_topk_int8: the integer dot products match a numpy replay of
+    the identical quantization BIT-FOR-BIT (integer math needs no
+    rounding contract), and the de-quantized top-10 substantially
+    overlaps the exact-cosine brute force — the empirical accuracy the
+    4x int8 bandwidth cut costs on this corpus."""
+    from minibatch_spark.catalog import load_table, spread
+    from minibatch_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_int8,
+        as_double,
+    )
+
+    e = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    rows = sorted(
+        e.select("vec_id", as_double("embedding").alias("ve")).collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.ve for r in rows], dtype=np.float64)
+    qs = np.abs(V).max(axis=1)
+    C = np.floor(V * 127.0 / qs[:, None] + 0.5).astype(np.int64)
+    qi = 0  # lowest vec_id is the query
+    dots = C @ C[qi]
+    got = {
+        r.vec_id: (r.dot_codes, r.score)
+        for r in ann_topk_int8(spark, SF_SMOKE).collect()
+    }
+    idx = {v: i for i, v in enumerate(ids)}
+    for vid, (dot, score) in got.items():
+        assert dot == int(dots[idx[vid]])  # bit-exact integer replay
+        expect = round(
+            float(dots[idx[vid]]) * qs[idx[vid]] * qs[qi] / 16129.0, 6
+        )
+        assert abs(score - expect) < 1e-9
+    brute = {r.vec_id for r in ann_topk_bruteforce(spark, SF_SMOKE).collect()}
+    overlap = len(set(got) & brute)
+    assert overlap >= 6, (overlap, sorted(got), sorted(brute))
