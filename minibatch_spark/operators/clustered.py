@@ -179,8 +179,8 @@ def emb_clustered_near_dup_pairs(
 ) -> DataFrame:
     """High-threshold near-dup pairs on the CLUSTERED corpus — the
     production dedup regime, hash-gated end to end: the oracle replays
-    corpus construction, 64-plane signatures, 8x8 banding, and the exact
-    cosine verify. Banding prunes here the way the isotropic registered
+    corpus construction, 96-plane signatures (CLUST_BANDS=6 bands x
+    CLUST_BITS=16 bits), and the exact cosine verify. Banding prunes here the way the isotropic registered
     query (emb_near_dup_pairs) structurally cannot: planted pairs at
     cosine ~0.996 survive banding w.p. ~0.9999 while ~99% of
     cross-cluster pairs never become candidates (measured candidate
@@ -188,14 +188,22 @@ def emb_clustered_near_dup_pairs(
     corpus's 51%). Plan shape is banded_near_dup_pairs unchanged —
     per-(band, key) candidate join, vec_id verify joins, no cross join."""
     cl = clustered_view(spark, sf_dir)
-    head = cl.select("cv").first()
+    # dim comes from a 1-row peek at the RAW embeddings table (cv is an
+    # element-wise transform, same length) — not cl.first(), which would
+    # pay a full clustered-view derivation job just to learn a constant
+    head = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .limit(1)
+        .first()
+    )
     if head is None:  # empty corpus -> empty result, typed (no crash)
         return spark.createDataFrame(
             [], "vec_a long, vec_b long, cos_sim double"
         )
     return banded_near_dup_pairs(
         cl.select("vec_id", F.col("cv").alias("v")),
-        dim=len(head.cv),
+        dim=int(head.d),
         n_bands=CLUST_BANDS,
         band_bits=CLUST_BITS,
         threshold=CLUST_THRESHOLD,

@@ -165,7 +165,7 @@ def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): spans are built array-side with the shared
     zip_with recipe (spans_of — never an outer expression inside a HOF
-    lambda) and carried as 16-byte md5 keys. 128 bits is a CORRECTNESS
+    lambda) and carried as 16-byte binary unhex(md5) keys. 128 bits is a CORRECTNESS
     requirement here, not a style choice: this operator DELETES text
     keyed on span identity, so a hash collision marks an innocent span
     "repeated" and removes 8 tokens of unique prose — at 100 TB (~1e13
@@ -200,7 +200,9 @@ def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).alias("p"),
-            F.md5("span").alias("sh"),
+            # unhex -> a TRUE 16-byte binary key (F.md5 alone returns a
+            # 32-char hex STRING, doubling the exchange width)
+            F.unhex(F.md5("span")).alias("sh"),
         )
         .withColumn("ek", F.col("doc_id") * F.lit(4294967296) + F.col("p"))
     )

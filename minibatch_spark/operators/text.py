@@ -1384,7 +1384,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id; covered-position rows are never deduplicated (anti join is
     multiplicity-blind — one shuffle saved).
 
-    Internal gram keys are 16-byte md5 (never surfaced; the oracle joins
+    Internal gram keys are 16-byte binary unhex(md5) (never surfaced; the oracle joins
     raw gram strings). 128 bits is a correctness requirement, not style:
     this operator DELETES tokens keyed on gram-hash equality, so a
     64-bit collision between a rare gram and a boilerplate gram would
@@ -1410,7 +1410,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("n") >= 3)
         .select("doc_id", F.posexplode(grams).alias("p", "g"))
         .filter(F.col("g").isNotNull())
-        .select("doc_id", "p", F.md5("g").alias("shh"))
+        .select("doc_id", "p", F.unhex(F.md5("g")).alias("shh"))
     )
     boiler = (
         possh.groupBy("shh")

@@ -285,8 +285,16 @@ class CurateStore:
             .filter(F.size("s") > 0)
             .select(
                 "doc_id",
+                # array_distinct AFTER hashing: shingles_of is distinct on
+                # strings, but a (vanishingly rare) intra-doc xxhash64
+                # collision would duplicate an element and inflate the
+                # co-occurrence-count verify up to 4x — the distinctness
+                # invariant the verify relies on is kept true by
+                # construction, not by assumption
                 F.array_sort(
-                    F.transform("s", lambda x: F.xxhash64(x))
+                    F.array_distinct(
+                        F.transform("s", lambda x: F.xxhash64(x))
+                    )
                 ).alias("sh"),
             )
             .select("doc_id", "sh", F.size("sh").cast("int").alias("n"))
