@@ -67,23 +67,57 @@ _FACT_SCHEMA = (
     "n_unique long, quality_ok int, is_en int"
 )
 _SHINGLE_SCHEMA = "doc_id long, sh array<long>, n int"
+_PREF_SCHEMA = "doc_id long, n int, sh1 long"
 _EDGE_SCHEMA = "doc_a long, doc_b long"
+
+# compacted-base partition columns (derivable from the data, so deltas
+# never carry them; same LSM recipe as operators/incremental.py)
+_SH_PCOL = "dp"  # pmod(doc_id, 256) — verify-side lookup by candidate doc
+_PREF_PCOL = "hp"  # pmod(sh1, 256)  — candidate join lookup by shingle hash
+
+
+def _prefix_len():
+    """Elements of the hash-sorted shingle set inside the All-Pairs
+    prefix: n - ceil(t*n) + 1 with t=0.8 in integer math, matching the
+    batch operator exactly."""
+    return F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+
+
+def _prefix_postings(sh_df: "DataFrame") -> "DataFrame":
+    """(doc_id, sh, n) -> one row per PREFIX element: (doc_id, n, sh1)."""
+    return sh_df.select(
+        "doc_id", "n", F.explode(F.slice("sh", 1, _prefix_len())).alias("sh1")
+    )
 
 
 class CurateStore:
     """Persisted curation state + the per-shard processing step.
 
-    Three parquet dirs under ``store_dir`` (tagged appends, snapshot
+    Four parquet dirs under ``store_dir`` (tagged appends, snapshot
     file-list reads and rollback exactly like MinhashDedupStore):
     ``facts/`` per-doc flag/count rows, ``shingles/`` per-doc sorted
-    xxhash64 shingle sets (the exact-Jaccard index), ``edges/`` the
-    verified pair graph."""
+    xxhash64 shingle sets (the exact-Jaccard verify index), ``prefs/``
+    the PERSISTED All-Pairs prefix postings (doc_id, n, sh1 — the
+    candidate-join index, so standing prefixes are never re-derived from
+    the arrays), ``edges/`` the verified pair graph.
+
+    Standing-side reads are PRUNED (the round-8 weak mark — per-batch
+    wall grew linearly with store size): ``compact()`` partitions the
+    prefs base by pmod(sh1, 256) and the shingles base by
+    pmod(doc_id, 256); each batch reads only the prefix cells matching
+    its own shingle hashes and the shingle cells holding its candidates'
+    doc ids (both prune sets bounded by 256, collected from staged
+    O(batch)-sized frames). Raw deltas stay unpartitioned — one small
+    file per batch — and are absorbed at the next compaction, which the
+    streaming driver can run on a cadence (curate_doc_stream
+    ``compact_every``)."""
 
     def __init__(self, spark: "SparkSession", store_dir: str):
         self.spark = spark
         self.store_dir = os.path.abspath(store_dir)
         self.facts_dir = os.path.join(self.store_dir, "facts")
         self.shingles_dir = os.path.join(self.store_dir, "shingles")
+        self.prefs_dir = os.path.join(self.store_dir, "prefs")
         self.edges_dir = os.path.join(self.store_dir, "edges")
         os.makedirs(self.store_dir, exist_ok=True)
         self._batch = 0
@@ -105,18 +139,32 @@ class CurateStore:
             return None
 
     def _roots(self) -> dict:
+        """root -> (dir, schema, partition column, partition expr) — the
+        last two None for roots only read globally at report time."""
         return {
-            "facts": (self.facts_dir, _FACT_SCHEMA),
-            "shingles": (self.shingles_dir, _SHINGLE_SCHEMA),
-            "edges": (self.edges_dir, _EDGE_SCHEMA),
+            "facts": (self.facts_dir, _FACT_SCHEMA, None, None),
+            "shingles": (
+                self.shingles_dir,
+                _SHINGLE_SCHEMA,
+                _SH_PCOL,
+                F.pmod("doc_id", F.lit(256)),
+            ),
+            "prefs": (
+                self.prefs_dir,
+                _PREF_SCHEMA,
+                _PREF_PCOL,
+                F.pmod("sh1", F.lit(256)),
+            ),
+            "edges": (self.edges_dir, _EDGE_SCHEMA, None, None),
         }
 
-    def _read(self, path: str, schema: str) -> "DataFrame":
-        """Committed view of one root: the compacted base (when a
-        manifest exists) plus every raw file the manifest does not cover.
-        Covered-file masking is realpath-normalized on both sides (the
-        minhash store's relative-path lesson), so a store reopened from
-        another cwd never resurfaces absorbed files as delta."""
+    def _file_view(self, path: str) -> "list[str]":
+        """Committed file-list snapshot of one root: the compacted base's
+        files (when a manifest exists) plus every raw file the manifest
+        does not cover. Covered-file masking is realpath-normalized on
+        both sides (the minhash store's relative-path lesson), so a store
+        reopened from another cwd never resurfaces absorbed files as
+        delta."""
         man = self._manifest()
         files = self._files(path)
         if man is not None:
@@ -131,16 +179,30 @@ class CurateStore:
                 )
                 + files
             )
+        return files
+
+    def _read_files(self, files: "list[str]", schema: str) -> "DataFrame":
         if files:
             return self.spark.read.schema(schema).parquet(*files)
         return self.spark.createDataFrame([], schema)
 
-    def compact(self) -> None:
+    def _read(self, path: str, schema: str, pcol=None, pvals=None) -> "DataFrame":
+        from minibatch_spark.operators.incremental import _prune_files
+
+        files = self._file_view(path)
+        if pvals is not None and pcol is not None:
+            files = _prune_files(files, pcol, pvals)
+        return self._read_files(files, schema)
+
+    def compact(self, exclude_tags=()) -> None:
         """Rewrite the accumulated per-batch tag dirs (facts, shingles,
-        edges) into ONE base per root — a thousand-micro-batch streaming
-        run otherwise accretes a tag dir per batch in all three roots
-        forever (the r7 VERDICT #6 gap; the minhash and IVF stores
-        already grew this). Crash safety by ORDERING, the ivf_store
+        prefs, edges) into ONE base per root — a thousand-micro-batch
+        streaming run otherwise accretes a tag dir per batch in all four
+        roots forever (the r7 VERDICT #6 gap; the minhash and IVF stores
+        already grew this). The prefs base is PARTITIONED by
+        pmod(sh1, 256) and the shingles base by pmod(doc_id, 256), so
+        subsequent batches' standing-side reads prune to matching cells
+        (class docstring). Crash safety by ORDERING, the ivf_store
         recipe re-expressed over file-list snapshots: (1) the merged
         bases are written under ``compacted-<id>/`` which no reader
         resolves until referenced, (2) the manifest (tmp + atomic
@@ -153,29 +215,63 @@ class CurateStore:
         Run it BETWEEN batches only, like the minhash store's
         compact_bands: a streaming batch's append must stay rollbackable
         until its checkpoint commits, and an absorbed tag cannot be
-        rolled back (re-appending one raises in process_batch)."""
+        rolled back (re-appending one raises in process_batch) —
+        ``exclude_tags`` leaves an in-flight batch's appends out as live
+        deltas (the streaming cadence's safety valve)."""
         import json
         import shutil
 
+        self._ensure_prefs()
         roots = self._roots()
-        snap = {n: self._files(p) for n, (p, _) in roots.items()}
+        skip = set(exclude_tags or ())
+
+        def _snap(root):
+            return [
+                f
+                for f in self._files(root)
+                if self._tag_of(f, root) not in skip
+            ]
+
+        snap = {n: _snap(p) for n, (p, _s, _pc, _pe) in roots.items()}
         prev = self._manifest()
         if not any(snap.values()) and prev is None:
             return  # nothing to merge
         cid = uuid.uuid4().hex[:12]
         out_root = os.path.join(self.store_dir, f"compacted-{cid}")
-        for n, (p, schema) in roots.items():
-            self._read(p, schema).write.parquet(
-                os.path.join(out_root, n), mode="overwrite"
-            )
+        for n, (p, schema, pcol, pexpr) in roots.items():
+            # base input = previous base + the SNAPSHOTTED raw files only
+            # (excluded tags stay raw, uncovered, and rollbackable)
+            man = self._manifest()
+            files = snap[n]
+            if man is not None:
+                covered = {
+                    os.path.realpath(f) for f in man["covered"].get(n, [])
+                }
+                files = [
+                    f for f in files if os.path.realpath(f) not in covered
+                ]
+                files = (
+                    self._files(
+                        os.path.join(self.store_dir, f"compacted-{man['id']}", n)
+                    )
+                    + files
+                )
+            df = self._read_files(files, schema)
+            out = os.path.join(out_root, n)
+            if pcol is not None:
+                df.withColumn(pcol, pexpr).write.partitionBy(pcol).parquet(
+                    out, mode="overwrite"
+                )
+            else:
+                df.write.parquet(out, mode="overwrite")
         absorbed = set(prev["absorbed_tags"]) if prev else set()
         covered = {}
         for n, files in snap.items():
             covered[n] = sorted(os.path.realpath(f) for f in files)
             for f in files:
-                top = os.path.relpath(f, roots[n][0]).split(os.sep)[0]
-                if top.startswith("tag="):
-                    absorbed.add(top[len("tag="):])
+                t = self._tag_of(f, roots[n][0])
+                if t is not None:
+                    absorbed.add(t)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -188,10 +284,10 @@ class CurateStore:
         for n, files in snap.items():
             root = roots[n][0]
             for f in files:
-                top = os.path.relpath(f, root).split(os.sep)[0]
-                if top.startswith("tag="):
+                t = self._tag_of(f, root)
+                if t is not None:
                     shutil.rmtree(
-                        os.path.join(root, top), ignore_errors=True
+                        os.path.join(root, f"tag={t}"), ignore_errors=True
                     )
                 else:
                     try:
@@ -206,6 +302,22 @@ class CurateStore:
                     os.path.join(self.store_dir, d), ignore_errors=True
                 )
 
+    _tag_of = staticmethod(MinhashDedupStore._tag_of)
+
+    def _ensure_prefs(self) -> None:
+        """One-time migration for stores written before the prefix-postings
+        root existed: without the backfill, every standing doc silently
+        stops matching new arrivals (the band-backfill lesson from the
+        minhash store). Derives (doc_id, n, sh1) from the shingle arrays
+        and persists it as a flat delta the next compact() absorbs."""
+        if self._file_view(self.prefs_dir):
+            return
+        if not self._file_view(self.shingles_dir):
+            return
+        _prefix_postings(self.shingles()).write.mode("append").parquet(
+            self.prefs_dir
+        )
+
     def _append_dir(self, root: str, batch_tag: "str | None") -> str:
         if batch_tag is None:
             return root
@@ -216,14 +328,30 @@ class CurateStore:
     def rollback(self, batch_tag: str) -> None:
         import shutil
 
-        for root in (self.facts_dir, self.shingles_dir, self.edges_dir):
+        for root in (
+            self.facts_dir,
+            self.shingles_dir,
+            self.prefs_dir,
+            self.edges_dir,
+        ):
             shutil.rmtree(os.path.join(root, f"tag={batch_tag}"), ignore_errors=True)
 
     def facts(self) -> "DataFrame":
         return self._read(self.facts_dir, _FACT_SCHEMA)
 
-    def shingles(self) -> "DataFrame":
-        return self._read(self.shingles_dir, _SHINGLE_SCHEMA)
+    def shingles(self, dpfxs=None) -> "DataFrame":
+        """The standing shingle-array table. ``dpfxs`` (pmod(doc_id, 256)
+        residues) prunes the compacted base to the cells holding those
+        doc ids — pass the candidate set's residues so the verify step
+        reads O(candidates), not O(store)."""
+        return self._read(self.shingles_dir, _SHINGLE_SCHEMA, _SH_PCOL, dpfxs)
+
+    def prefs(self, hpfxs=None) -> "DataFrame":
+        """The standing prefix-postings table (doc_id, n, sh1).
+        ``hpfxs`` (pmod(sh1, 256) residues) prunes the compacted base to
+        the cells that can share a prefix hash with the batch."""
+        self._ensure_prefs()
+        return self._read(self.prefs_dir, _PREF_SCHEMA, _PREF_PCOL, hpfxs)
 
     def edges(self) -> "DataFrame":
         return self._read(self.edges_dir, _EDGE_SCHEMA)
@@ -256,9 +384,15 @@ class CurateStore:
                 "fresh checkpoint (new batch ids) or a fresh store."
             )
         self._batch += 1
-        # snapshot BEFORE appending (append-immune lineage, same reason
-        # as MinhashDedupStore._read)
-        standing = self.shingles()
+        # one-time legacy backfill BEFORE this batch's appends land (its
+        # own rows must not be absorbed into the backfill)
+        self._ensure_prefs()
+        # snapshot file lists BEFORE appending: the batch's own new files
+        # are identified as the post-append set difference (correct for
+        # tagged AND untagged appends — an untagged batch's files land in
+        # the flat root next to earlier batches')
+        pre_sh = set(self._files(self.shingles_dir))
+        pre_pf = set(self._files(self.prefs_dir))
 
         t = tokens("text")
         swr = F.size(
@@ -302,25 +436,50 @@ class CurateStore:
         sh.write.mode("append").parquet(
             self._append_dir(self.shingles_dir, batch_tag)
         )
-        # re-read what we just wrote (durable, snapshot) so the candidate
-        # join below doesn't recompute the shingle lineage per use
-        batch_files = self._files(self._append_dir(self.shingles_dir, batch_tag))
-        batch_sh = self.spark.read.schema(_SHINGLE_SCHEMA).parquet(*batch_files) \
-            if batch_files else self.spark.createDataFrame([], _SHINGLE_SCHEMA)
+        # re-read EXACTLY what we just wrote (durable, snapshot) so the
+        # candidate join below doesn't recompute the shingle lineage per
+        # use — post-minus-pre file sets, so an untagged batch never
+        # re-reads earlier batches' flat files as its own
+        batch_files = sorted(
+            set(self._files(self.shingles_dir)) - pre_sh
+        )
+        batch_sh = self._read_files(batch_files, _SHINGLE_SCHEMA)
+        # persist the batch's prefix postings (the candidate-join index)
+        _prefix_postings(batch_sh).write.mode("append").parquet(
+            self._append_dir(self.prefs_dir, batch_tag)
+        )
+        batch_pf = self._read_files(
+            sorted(set(self._files(self.prefs_dir)) - pre_pf), _PREF_SCHEMA
+        )
 
-        edges = self._new_edges(batch_sh, standing)
+        edges, cand = self._new_edges(batch_sh, batch_pf)
         edges.write.mode("append").parquet(
             self._append_dir(self.edges_dir, batch_tag)
         )
+        # release the intra-batch stage cache (the edge write above was
+        # its last consumer) — a thousand-batch ingest must not accrete
+        # cached candidate frames
+        cand.unpersist(blocking=False)
 
     def _new_edges(
-        self, batch_sh: "DataFrame", standing: "DataFrame"
+        self, batch_sh: "DataFrame", batch_pf: "DataFrame"
     ) -> "DataFrame":
         """Verified jaccard >= t pairs with at least one side in the
         batch: batch prefixes join (store ∪ batch) prefixes on the
         shingle hash with the All-Pairs size filter, then an exact
         co-occurrence-count verify — the dedup_ngram_jaccard recipe with
         the df-order prefix swapped for stable hash order.
+
+        PRUNED standing reads (the round-8 weak mark): the (store ∪
+        batch) prefix side is the persisted ``prefs`` table read ONLY in
+        the pmod(sh1, 256) cells the batch's own prefix hashes land in —
+        an equal-hash join partner must share the cell — and the verify
+        side reads ONLY the pmod(doc_id, 256) shingle cells holding
+        candidate doc ids, collected from the staged candidate frame.
+        Both reads are post-append pinned file-list snapshots, so they
+        already contain the batch's own rows (batch-batch pairs included,
+        no union, no double-count) and stay append-immune against FUTURE
+        batches.
 
         GIANT-ROW discipline (the r7 VERDICT What's-wrong #3, the same
         shape the r6 skew audit caught in batch dedup_containment_pairs):
@@ -333,23 +492,24 @@ class CurateStore:
         O(min), and no wide array ever moves — a giant doc is a candidate
         magnet but never a bandwidth problem. |A∩B| counted this way
         equals size(array_intersect) exactly because the shingle sets are
-        DISTINCT (shingles_of) — pinned bit-identical to the batch edge
-        set in tests/test_streaming_curate.py, and the streaming skew
-        audit (tools/skew_stream_audit.py) measures it on the giant-doc
+        DISTINCT (shingles_of + post-hash array_distinct) — pinned
+        bit-identical to the batch edge set in
+        tests/test_streaming_curate.py, and the streaming skew audit
+        (tools/skew_stream_audit.py) measures it on the giant-doc
         corpus."""
-        both = standing.unionByName(batch_sh)
+        from minibatch_spark.catalog import stage
 
-        def prefix(df):
-            # first n - ceil(t*n) + 1 elements of the hash-sorted set;
-            # integer math as in the batch operator ((4n+4) div 5)
-            plen = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
-            return df.select(
-                "doc_id", "n", F.explode(F.slice("sh", 1, plen)).alias("sh1")
+        hpfx = [
+            r.p
+            for r in batch_pf.select(
+                F.pmod("sh1", F.lit(256)).alias("p")
             )
-
-        a = prefix(batch_sh).alias("a")
-        b = prefix(both).alias("b")
-        cand = (
+            .distinct()
+            .collect()
+        ]
+        a = batch_pf.alias("a")
+        b = self.prefs(hpfxs=hpfx).alias("b")
+        cand = stage(
             a.join(
                 b,
                 (F.col("a.sh1") == F.col("b.sh1"))
@@ -361,8 +521,23 @@ class CurateStore:
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
             )
-            .dropDuplicates(["doc_a", "doc_b"])
+            .dropDuplicates(["doc_a", "doc_b"]),
+            f"curate-cand-{self._batch}",
         )
+        dpfx = [
+            r.p
+            for r in cand.select(
+                F.explode(
+                    F.array(
+                        F.pmod("doc_a", F.lit(256)),
+                        F.pmod("doc_b", F.lit(256)),
+                    )
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        both = self.shingles(dpfxs=dpfx)
         sizes = both.select("doc_id", "n")
         sized = (
             cand.join(
@@ -410,9 +585,10 @@ class CurateStore:
         jac = F.col("i").cast("double") / (
             F.col("n_a") + F.col("n_b") - F.col("i")
         )
-        return common.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
+        edges = common.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
             "doc_a", "doc_b"
         )
+        return edges, cand
 
     # -- the global (report-time) steps -----------------------------------
 

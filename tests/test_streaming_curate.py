@@ -246,3 +246,91 @@ def test_compact_window_b_masks_covered_files(spark, tmp_path):
         sorted((r.doc_id, r.text_hash) for r in store.facts().collect())
         == before
     )
+
+
+# --- round 9: pruned standing-side reads + prefix-postings root -----------
+
+
+def test_prefs_prune_input_files_and_slice(spark, tmp_path):
+    """After compact() the prefix-postings base is partitioned by
+    pmod(sh1, 256) and the shingle base by pmod(doc_id, 256); pruned
+    reads touch only matching cells and return exactly the matching
+    slice (deltas appended since are always read)."""
+    from minibatch_spark.streaming.curate_stream import CurateStore
+
+    store = CurateStore(spark, os.path.join(str(tmp_path), "pf"))
+    shards = _doc_shards(spark)
+    store.process_batch(shards[0], batch_tag="b0")
+    store.compact()
+    store.process_batch(shards[1], batch_tag="b1")  # delta on top
+
+    full = [(r.doc_id, r.n, r.sh1) for r in store.prefs().collect()]
+    cells = sorted({sh1 % 256 for _, _, sh1 in full})[:5]
+    pruned = store.prefs(hpfxs=cells)
+    for f in pruned.inputFiles():
+        seg = next((s for s in f.split("/") if s.startswith("hp=")), None)
+        assert seg is None or seg in {f"hp={c}" for c in cells}, f
+    got = sorted((r.doc_id, r.n, r.sh1) for r in pruned.collect())
+    # pruned view ⊇ matching slice; extras only from unpartitioned deltas
+    want = sorted(t for t in full if t[2] % 256 in set(cells))
+    assert [t for t in got if t[2] % 256 in set(cells)] == want
+
+    dcells = sorted({r.doc_id % 256 for r in store.shingles().collect()})[:5]
+    sp = store.shingles(dpfxs=dcells)
+    for f in sp.inputFiles():
+        seg = next((s for s in f.split("/") if s.startswith("dp=")), None)
+        assert seg is None or seg in {f"dp={c}" for c in dcells}, f
+
+
+def test_legacy_store_without_prefs_backfills(spark, tmp_path):
+    """A store written before the prefs root existed must backfill it
+    from the shingle arrays ONCE — else standing docs silently stop
+    matching new near-duplicates (the minhash band-backfill lesson)."""
+    import shutil
+
+    from minibatch_spark.streaming.curate_stream import CurateStore
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "with plenty of extra words to make the shingle set long enough"
+    )
+    # append one word: adds a single shingle, J = n/(n+1) >= 0.8
+    near_txt = base_txt + " tonight"
+    store = CurateStore(spark, os.path.join(str(tmp_path), "legacy"))
+    d1 = spark.createDataFrame(
+        [(1, base_txt, "s")], "doc_id long, text string, source string"
+    )
+    store.process_batch(d1, batch_tag="b0")
+    # simulate a pre-prefs store
+    shutil.rmtree(store.prefs_dir, ignore_errors=True)
+
+    reopened = CurateStore(spark, os.path.join(str(tmp_path), "legacy"))
+    d2 = spark.createDataFrame(
+        [(2, near_txt, "s")], "doc_id long, text string, source string"
+    )
+    reopened.process_batch(d2, batch_tag="b1")
+    edges = {(r.doc_a, r.doc_b) for r in reopened.edges().collect()}
+    assert (1, 2) in edges
+    # backfill persisted, not re-derived per batch
+    assert reopened._files(reopened.prefs_dir)
+
+
+def test_compact_exclude_tags_keeps_batch_rollbackable(spark, tmp_path):
+    """compact(exclude_tags={t}) must leave tag t's appends out of the
+    base so rollback(t) still removes them — the safety valve the
+    streaming auto-compaction cadence relies on."""
+    from minibatch_spark.streaming.curate_stream import CurateStore
+
+    store = CurateStore(spark, os.path.join(str(tmp_path), "excl"))
+    shards = _doc_shards(spark, 2)
+    store.process_batch(shards[0], batch_tag="b0")
+    store.process_batch(shards[1], batch_tag="b1")
+    n0 = store.facts().count()
+    n1 = shards[1].count()
+    store.compact(exclude_tags={"b1"})
+    assert store.facts().count() == n0  # nothing lost by the flip
+    store.rollback("b1")  # still raw, still removable
+    assert store.facts().count() == n0 - n1
+    # and b1 is NOT absorbed: re-processing it after rollback succeeds
+    store.process_batch(shards[1], batch_tag="b1")
+    assert store.facts().count() == n0
