@@ -167,7 +167,7 @@ class IvfIndexStore:
                 tags.append(os.path.join(self.vectors_path, d))
         return sorted(tags)
 
-    def compact(self) -> None:
+    def compact(self, exclude_tags=()) -> None:
         """Rewrite the accumulated append tags into ONE cell-partitioned
         base — the small-file answer for a store fed by thousands of
         micro-batches (each append leaves a file per touched cell; the
@@ -179,18 +179,33 @@ class IvfIndexStore:
         crash at any point leaves readers seeing exactly the pre- or
         post-compaction contents, never duplicates, never a partial
         base. vectors()/topk contents are bit-identical across the flip
-        (test-pinned)."""
+        (test-pinned). ``exclude_tags`` leaves those tags out of the
+        merge: an in-flight streaming batch's append may be COMMITTED
+        (_SUCCESS present) yet not checkpointed — absorbing it would make
+        the replay's idempotent tag-overwrite raise on the absorbed-tag
+        guard (the ingest_embedding_stream cadence passes its current
+        tag here)."""
         import json
         import shutil
 
-        tags = self._committed_tags()
+        skip = {f"tag={t}" for t in (exclude_tags or ())}
+        tags = [
+            t for t in self._committed_tags() if os.path.basename(t) not in skip
+        ]
         if len(tags) <= 1:
             return  # nothing to merge
         base = f"compacted-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.vectors_path, f"tag={base}")
-        self.vectors().select("vec_id", "ve", "codes", "cell").write.partitionBy(
-            "cell"
-        ).parquet(out, mode="overwrite")
+        merged_df = (
+            self.spark.read.option("basePath", self.vectors_path)
+            .schema(
+                "vec_id long, ve array<double>, codes array<int>, "
+                "cell int, tag string"
+            )
+            .parquet(*tags)  # ONLY the merged tags — excluded stay raw
+            .select("vec_id", "ve", "codes", "cell")
+        )
+        merged_df.write.partitionBy("cell").parquet(out, mode="overwrite")
         prev = self._manifest()
         # absorb everything merged (incl. the previous base) and carry
         # forward previously-absorbed names whose dirs a crashed gc pass

@@ -668,17 +668,23 @@ def curate_doc_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     on_batch: Optional[Callable[[int, int], None]] = None,
+    compact_every: int = 16,
 ) -> "StreamingQuery":
     """Drive the curation store from Structured Streaming: ``docs`` is a
     STREAMING DataFrame with (doc_id, text, source). Exactly-once via
     tagged appends + rollback-before-process (replay restores the exact
-    pre-batch store, the dedup_doc_stream recipe). Call
+    pre-batch store, the dedup_doc_stream recipe). ``compact_every=N``
+    (0 disables) compacts the store every N batches at the handler-start
+    safe point, EXCLUDING the current batch's tag so a replayed partial
+    attempt stays rollbackable (see dedup_doc_stream). Call
     ``CurateStore(spark, store_dir).report()`` any time for the current
     mixture table."""
     store = CurateStore(spark, store_dir)
 
     def _handle(batch_df: "DataFrame", batch_id: int) -> None:
         tag = f"batch-{batch_id}"
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            store.compact(exclude_tags={tag})
         store.rollback(tag)
         b = batch_df.select("doc_id", "text", "source")
         store.process_batch(b, batch_tag=tag)

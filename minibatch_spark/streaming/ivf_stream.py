@@ -41,6 +41,7 @@ def ingest_embedding_stream(
     available_now: bool = True,
     cell_target: int = SEM_CELL_TARGET,
     on_batch: Optional[Callable[[int, int], None]] = None,
+    compact_every: int = 16,
 ) -> "StreamingQuery":
     """Start the streaming ingest: ``embs`` is a STREAMING DataFrame with
     (vec_id long, ve array<double>) columns. The first non-empty batch
@@ -51,6 +52,13 @@ def ingest_embedding_stream(
     ``on_batch(batch_id, n_vectors)`` is an optional observer hook,
     called after the batch's append commits.
 
+    ``compact_every=N`` (0 disables): every N batches the handler merges
+    the accumulated append tags into one cell-partitioned base
+    (store.compact) at the handler-start safe point, EXCLUDING the
+    current batch's tag — a prior attempt of this very batch may have a
+    committed append that is not yet checkpointed, and absorbing it
+    would make the replay's idempotent tag-overwrite raise.
+
     Scale shape per micro-batch: one broadcast-assign pass (centroids
     are the broadcast side) + a partitioned parquet write — the store is
     never read, shuffled, or rewritten by ingestion; only ``tag=batch-N``
@@ -60,6 +68,8 @@ def ingest_embedding_stream(
     store = IvfIndexStore(spark, store_dir, cell_target)
 
     def _handle(batch_df: "DataFrame", batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            store.compact(exclude_tags={f"batch-{batch_id}"})
         v = batch_df.select("vec_id", "ve")
         if not store.centroids_committed():
             if v.isEmpty():

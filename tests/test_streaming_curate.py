@@ -334,3 +334,35 @@ def test_compact_exclude_tags_keeps_batch_rollbackable(spark, tmp_path):
     # and b1 is NOT absorbed: re-processing it after rollback succeeds
     store.process_batch(shards[1], batch_tag="b1")
     assert store.facts().count() == n0
+
+
+def test_compact_every_batch_report_matches_batch(spark, tmp_path):
+    """curate_doc_stream with compact_every=1: per-batch compaction must
+    keep the mixture report bit-identical to batch curate_corpus."""
+    from minibatch_spark.streaming.curate_stream import (
+        CurateStore,
+        curate_doc_stream,
+    )
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, shard in enumerate(_doc_shards(spark)):
+        _write_part(spark, shard, os.path.join(src, f"p{i}"), 1_000_000_000 + i)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = curate_doc_stream(
+        spark, stream, os.path.join(base, "store"), os.path.join(base, "ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination()
+    store = CurateStore(spark, os.path.join(base, "store"))
+    got = sorted(
+        (r.split, r.source, r.n_docs, r.tokens, r.token_share)
+        for r in store.report().collect()
+    )
+    assert got == _batch_report(spark)
+    assert store._manifest() is not None

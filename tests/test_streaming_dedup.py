@@ -251,3 +251,68 @@ def test_crash_after_sink_write_before_commit(spark, tmp_path):
     )
     q2.awaitTermination()
     _assert_recovered_exactly_once(spark, tmp_path, base, shard1, shard2)
+
+
+# --- round 9: auto-compaction cadence ------------------------------------
+
+
+def test_compact_every_batch_matches_single_pass(spark, tmp_path):
+    """compact_every=1 (compaction at every handler start) must not
+    change a single keep decision, and the store really ends compacted
+    (bands manifest present, raw roots drained)."""
+    from minibatch_spark.operators.incremental import MinhashDedupStore
+    from minibatch_spark.streaming.dedup_stream import dedup_doc_stream, read_kept
+
+    base = str(tmp_path)
+    src, shard1, shard2 = _shards_src(spark, base)
+    q = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r.doc_id for r in read_kept(spark, os.path.join(base, "sink")).collect()
+    )
+    assert kept == [1, 2, 12]
+    store = MinhashDedupStore(spark, os.path.join(base, "store"))
+    assert store._manifest() is not None  # the cadence really compacted
+
+
+def test_crash_at_cadence_callsite_recovers_exactly_once(spark, tmp_path):
+    """The new call site's crash window: batch 1's store appends land,
+    then the query dies BEFORE batch 1's checkpoint commits. On restart
+    with compact_every=1 the handler COMPACTS FIRST (absorbing batch 0)
+    while batch 1's partial appends are on disk — they must be excluded
+    from the compaction (stay raw and rollbackable), then rolled back
+    and reprocessed. Final corpus and store bit-identical to a
+    crash-free single pass."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from minibatch_spark.streaming.dedup_stream import dedup_doc_stream
+
+    base = str(tmp_path)
+    src, shard1, shard2 = _shards_src(spark, base)
+    calls = []
+
+    def crash_on_batch1(batch_id, n, k):
+        calls.append(batch_id)
+        if batch_id == 1 and calls.count(1) == 1:
+            raise RuntimeError("injected crash: batch 1 appended, uncommitted")
+
+    q = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+        on_batch=crash_on_batch1, compact_every=1,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    q2 = dedup_doc_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "sink"), os.path.join(base, "ckpt"),
+        compact_every=1,
+    )
+    q2.awaitTermination()
+    _assert_recovered_exactly_once(spark, tmp_path, base, shard1, shard2)

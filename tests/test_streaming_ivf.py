@@ -156,3 +156,22 @@ def test_crash_replay_exactly_once(spark, tmp_path):
     assert snap == _snap(ref)
     ids = [v for v, _, _ in snap]
     assert len(ids) == len(set(ids)) == len(shard1) + len(shard2)
+
+
+def test_compact_every_batch_matches_batch_build(spark, tmp_path):
+    """ingest_embedding_stream with compact_every=1: the cadence's
+    per-batch compaction (excluding the in-flight tag) must leave the
+    final index bit-identical to the batch build+append path."""
+    from minibatch_spark.operators.ivf_store import IvfIndexStore
+    from minibatch_spark.streaming.ivf_stream import ingest_embedding_stream
+
+    base = str(tmp_path)
+    src, shard1, shard2 = _shards_src(spark, base)
+    q = ingest_embedding_stream(
+        spark, _stream(spark, src), os.path.join(base, "store"),
+        os.path.join(base, "ckpt"), compact_every=1,
+    )
+    q.awaitTermination()
+    streamed = IvfIndexStore(spark, os.path.join(base, "store"))
+    ref = _batch_reference(spark, tmp_path, shard1, shard2)
+    assert _snap(streamed) == _snap(ref)
