@@ -135,3 +135,75 @@ def test_train_bpe_merges_realistic_count(spark):
     # generous bound for a noisy host; the point is seconds, not
     # 1500 x (fixed Spark job latency)
     assert wall < 120, wall
+
+
+def test_apply_bpe_matches_chained_replace_gate(spark):
+    """apply_bpe (Arrow mapInPandas segmentation, the realistic-merge-
+    count path) must be BIT-EQUAL to the oracle-gated text_bpe_apply
+    (chained two-pass literal replaces) at BPE_MERGES=6 on the real
+    corpus — same per-doc word counts, piece counts, and fertility."""
+    from minibatch_spark.catalog import load_table
+    from minibatch_spark.operators.text import (
+        BPE_MERGES,
+        apply_bpe,
+        bpe_word_vocab,
+        text_bpe_apply,
+        train_bpe_merges,
+    )
+
+    gate = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+        for r in text_bpe_apply(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    merges = train_bpe_merges(bpe_word_vocab(spark, SF_SMOKE), BPE_MERGES)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+        for r in apply_bpe(spark, docs, merges).collect()
+    }
+    assert got == gate
+
+
+def test_apply_bpe_realistic_merge_count(spark):
+    """1500 merges through apply_bpe — the regime where the chained-
+    replace plan is a 1500-deep expression tree Catalyst cannot survive
+    — completes, conserves word counts, and compresses: fertility
+    strictly below the char-level ceiling and >= 1 (pieces never
+    outnumber characters or undercut one piece per word)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minibatch_spark.operators.text import apply_bpe, train_bpe_merges
+
+    rng = random.Random(7)
+    syll = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiouy"]
+    words = sorted(
+        {
+            "".join(rng.choice(syll) for _ in range(rng.randint(2, 5)))
+            for _ in range(4000)
+        }
+    )
+    vocab = spark.createDataFrame(
+        [(w, rng.randint(1, 500)) for w in words], "word string, freq long"
+    ).select("word", F.col("freq").cast("long"))
+    merges = train_bpe_merges(vocab, 1500)
+    assert len(merges) == 1500
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(30)))
+            for i in range(50)
+        ],
+        "doc_id long, text string",
+    )
+    rows = apply_bpe(spark, docs, merges).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_words == 30
+        assert 30 <= r.n_bpe_tokens  # >= one piece per word
+        assert r.fertility >= 1.0
+    # 1500 merges over a 114-syllable vocab must actually compress:
+    # mean fertility well under the char-level piece count (~7 chars/word)
+    mean_fert = sum(r.fertility for r in rows) / len(rows)
+    assert mean_fert < 4.0, mean_fert

@@ -49,3 +49,64 @@ def test_status_quotes_latest_tpch_worst_ratio():
     status = _status()
     assert f"{worst['ratio']}×" in status, (worst_q, worst["ratio"])
     assert worst_q.split("_")[0] in status, worst_q
+
+
+def test_every_artifact_section_figure_is_in_its_artifact():
+    """The figure-staleness class, closed as a CONVENTION (r8 VERDICT
+    What's-wrong #2: each round so far hand-fixed one stale figure and
+    pinned only that figure's class): in the LATEST 'Round-N artifact
+    numbers on HEAD' section, EVERY decimal figure inside a bullet must
+    appear verbatim in (one of) the artifact file(s) that bullet names
+    in backticks. Prose rules this enforces:
+
+    - a bullet quoting any number names the artifact it came from —
+      including PRIOR rounds' numbers (name the prior artifact too);
+    - a genuinely non-artifact observation (e.g. a discarded burst run
+      described for honesty) prefixes its figures with '~', the explicit
+      opt-out marker.
+
+    Substring match against the artifact's raw text: lenient enough for
+    rounded quotes ('17.3' in '17.318'), strict enough that a
+    regenerated artifact whose figure moved goes red."""
+    import re
+
+    status = _status()
+    m = re.search(
+        r"Round-\d+ artifact numbers on HEAD.*?\n\n(.*?)\n## ", status, re.S
+    )
+    assert m, "artifact-numbers section not found"
+    section = m.group(1)
+    bullets = re.split(r"\n(?=- )", section)
+    art_re = re.compile(r"`([A-Za-z0-9_]+_r\d+\.json)`")
+    num_re = re.compile(r"(?<![\w.~–-])(\d+\.\d+)(?!\d)")
+    checked = 0
+    for bullet in bullets:
+        arts = art_re.findall(bullet)
+        if not arts:
+            continue
+        blob = ""
+        for a in arts:
+            path = os.path.join(REPO, a)
+            assert os.path.exists(path), f"STATUS names missing artifact {a}"
+            blob += open(path).read()
+        # strip inline opt-outs: '~'-prefixed runs (incl. ranges) are
+        # disclosed non-artifact observations
+        scrubbed = re.sub(r"~[\d.–+-]+(?:×|%|x)?", "", bullet)
+        blob_nums = None
+        for tok in num_re.findall(scrubbed):
+            checked += 1
+            if tok in blob:
+                continue
+            # rounded quotes ('15.3' for the artifact's 15.292): accept
+            # when some artifact number rounds to the quoted figure
+            if blob_nums is None:
+                blob_nums = [
+                    float(x) for x in re.findall(r"\d+\.\d+", blob)
+                ]
+            places = len(tok.split(".")[1])
+            want = float(tok)
+            assert any(round(n, places) == want for n in blob_nums), (
+                f"figure {tok} in bullet {bullet[:90]!r} not found in "
+                f"named artifact(s) {arts}"
+            )
+    assert checked >= 10, f"sentinel parsed too little ({checked} figures)"
