@@ -823,3 +823,114 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+LINE_K = 10  # tokens per "line" — the corpus has no newlines, so the
+#              C4 line unit is a fixed 10-token stripe (last one partial)
+
+
+@query(
+    "docs_line_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(ceil(len(toks) / {LINE_K}.0) AS INT) - 1)) AS line_no
+      FROM t
+    ), lines AS (
+      SELECT doc_id, line_no,
+             array_to_string(
+               toks[line_no * {LINE_K} + 1 : line_no * {LINE_K} + {LINE_K}],
+               ' ') AS line
+      FROM ln
+    ), ranked AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE md5(string_agg(CASE WHEN rn = 1 THEN line END,
+                                    ' ' ORDER BY line_no))
+           END AS kept_hash
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level exact dedup (Raffel et al. 2020 deduplicate at
+    the line/three-sentence unit; Lee et al.'s token-span pass is
+    docs_dedup_substrings): the corpus is cut into fixed LINE_K(=10)-token
+    lines (the synthetic corpus has no newlines — a real pipeline splits
+    on them and nothing else changes), every line occurring more than
+    once corpus-wide keeps exactly its canonical first occurrence
+    (globally smallest (doc_id, line_no)), and docs re-emit as
+    (n_lines, n_kept, md5 of surviving lines in order) — NULL hash for a
+    doc that was entirely boilerplate.
+
+    Scale shape (100 TB): lines are built ARRAY-SIDE (transform over a
+    sequence of slice offsets — no window, no per-doc shuffle) and
+    carried as 16-byte unhex(md5) keys: this op DELETES text on line
+    identity, so it is on the DESTRUCTIVE list
+    (tests/test_curation.py::test_destructive_ops_use_wide_hash_identity)
+    — a 64-bit key at ~1e12 lines expects real collisions, each silently
+    deleting a unique line. The repeated-line aggregate is ONE map-side-
+    combined exchange on the line hash (rows = line count, ~n_tokens/LINE_K);
+    the keep decision is ek == min(ek) — the same order-preserving
+    doc_id*2^32+line_no encoding docs_dedup_substrings uses, exact under
+    the corpus contract (SCALE.md) and identical arithmetic on both
+    engines. Second exchange: the per-doc re-aggregate. Output is
+    corpus-sized, never pair-sized."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n")
+    )
+    n_lines = F.ceil(F.col("n") / F.lit(LINE_K)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tk"), i * LINE_K + 1, LINE_K), " "
+        ),
+    )
+    occ = (
+        base.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            F.unhex(F.md5("line")).alias("lh"),
+            (F.col("doc_id") * F.lit(4294967296) + F.col("line_no")).alias(
+                "ek"
+            ),
+        )
+    )
+    firsts = occ.groupBy("lh").agg(F.min("ek").alias("canon"))
+    flagged = occ.join(firsts, "lh").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (F.col("ek") == F.col("canon")).alias("kept"),
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("line_no", "line")
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_sort(F.collect_list(kept_struct)).alias("ks"),
+    )
+    kept_hash = F.when(
+        F.col("n_kept") > 0,
+        F.md5(F.concat_ws(" ", F.transform(F.col("ks"), lambda s: s["line"]))),
+    )
+    return per.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        kept_hash.alias("kept_hash"),
+    )

@@ -1686,3 +1686,126 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scored.filter(F.col("cos_sim") >= RANGE_COS)
+
+
+@query(
+    "emb_decontaminate",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+        (vec_id % 10 = 0) AS is_eval,
+        {_bucket_sql_expr()} AS bucket
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, is_eval, b.b AS band_id,
+             substring(bucket, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {NEAR_DUP_BANDS - 1})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM bands t JOIN bands e
+        ON t.band_id = e.band_id AND t.band_key = e.band_key
+       AND NOT t.is_eval AND e.is_eval
+    ), verified AS (
+      SELECT c.train_id AS vec_id,
+             ROUND(list_cosine_similarity(st.ve, se.ve), 6) AS cos_sim
+      FROM cand c
+      JOIN sig st ON st.vec_id = c.train_id
+      JOIN sig se ON se.vec_id = c.eval_id
+      WHERE ROUND(list_cosine_similarity(st.ve, se.ve), 6)
+            >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(MAX(cos_sim), 6) AS max_cos
+    FROM verified GROUP BY vec_id
+    """,
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every TRAIN vector
+    whose cosine to ANY EVAL (benchmark) vector clears the near-dup
+    threshold — the semantic counterpart of text_decontaminate's n-gram
+    overlap (paraphrased benchmark questions share no 8-gram but sit at
+    cosine ~1). Eval set = vec_id % 10 == 0, the held-out tenth; output
+    is one row per contaminated train vector with its hit count and
+    worst (highest) cosine.
+
+    Plan (the 100 TB shape): the benchmark suite is TINY next to the
+    training corpus — a few hundred thousand rows vs billions — so the
+    eval side's bands AND vectors broadcast, and the train corpus is
+    touched in ONE pass with map-side candidate generation + map-side
+    verify: scan -> broadcast band join -> broadcast vector join ->
+    filter -> per-train-vec agg. The only shuffle is the final
+    aggregation on the (bounded, contaminated-only) hit set. Banding is
+    the same {NEAR_DUP_BANDS}x{BAND_BITS} signature the near-dup family
+    uses, so recall economics carry over (see emb_near_dup_pairs: wide
+    bands for clustered corpora). Threshold {NEAR_DUP_THRESHOLD} is the
+    non-vacuous top of this isotropic corpus's cosine distribution;
+    production decontamination runs at 0.9+ where banding prunes hard.
+
+    The oracle replays signatures, banding, the cross-set candidate
+    join, and the rounded-cosine verify bit-for-bit (integer fixed-point
+    projections — see signature_udf)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    head = e.select("embedding").first()
+    if head is None:  # empty corpus -> empty result, typed (no crash)
+        return spark.createDataFrame(
+            [], "vec_id long, n_hits long, max_cos double"
+        )
+    dim = len(head.embedding)
+    sig = signature_udf(dim)
+    is_eval = F.col("vec_id") % 10 == 0
+    v_df = stage(
+        e.select(
+            "vec_id",
+            as_double("embedding").alias("v"),
+            is_eval.alias("is_eval"),
+            sig("embedding").alias("bucket"),
+        ),
+        "decontam-sig",
+    )
+    band_bits = BAND_BITS
+    bands = v_df.select(
+        "vec_id",
+        "is_eval",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring(
+                            "bucket", b * band_bits + 1, band_bits
+                        ).alias("band_key"),
+                    )
+                    for b in range(NEAR_DUP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "is_eval", "band.band_id", "band.band_key")
+    train_bands = bands.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("train_id"), "band_id", "band_key"
+    )
+    eval_bands = bands.filter(F.col("is_eval")).select(
+        F.col("vec_id").alias("eval_id"), "band_id", "band_key"
+    )
+    cand = (
+        train_bands.join(F.broadcast(eval_bands), ["band_id", "band_key"])
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    tv = v_df.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tv")
+    )
+    ev = v_df.filter(F.col("is_eval")).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("evv")
+    )
+    cos_sim = F.round(cosine(F.col("tv"), F.col("evv")), 6)
+    verified = (
+        cand.join(tv, "train_id")
+        .join(F.broadcast(ev), "eval_id")
+        .select(F.col("train_id").alias("vec_id"), cos_sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+    return verified.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )

@@ -1996,3 +1996,98 @@ def apply_bpe(spark: SparkSession, docs: DataFrame, merges: list) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS prev,
+             unnest(toks[2:len(toks)])   AS tok
+      FROM t
+    ), big AS (
+      SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt_big
+      FROM pairs GROUP BY prev, tok
+    ), ctx AS (
+      SELECT prev, CAST(COUNT(*) AS BIGINT) AS cnt_prev
+      FROM pairs GROUP BY prev
+    ), uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_tok
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(cnt_tok) AS BIGINT) AS n_total FROM uni)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(log2(
+               0.75 * CAST(b.cnt_big AS DOUBLE) / CAST(c.cnt_prev AS DOUBLE)
+             + 0.25 * CAST(u.cnt_tok AS DOUBLE) / CAST(tot.n_total AS DOUBLE)))
+             / COUNT(*), 6) AS avg_nll2
+    FROM pairs p
+    JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+    JOIN ctx c ON c.prev = p.prev
+    JOIN uni u ON u.tok = p.tok
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung up from
+    text_unigram_logprob on the CCNet/KenLM ladder: per-document mean
+    negative log2-probability under p(w|v) = 0.75 * c(v,w)/c(v.) +
+    0.25 * c(w)/N, the classic Jelinek-Mercer smoothing (the unigram
+    back-off keeps unseen-in-context words finite). A real KenLM table
+    swaps in for the count tables and NOTHING else changes — same shape
+    as the unigram op, one model order deeper.
+
+    Plan: bigram pairs are built INSIDE the row with zip_with over two
+    array slices — no window, no per-doc shuffle, the pair list never
+    leaves the task that read the document. Three count tables (bigram,
+    left-context, unigram) are map-side partial aggs bounded by vocab
+    size (bigram vocab <= observed pairs, still << corpus under Zipf);
+    exploded pairs join them (AQE broadcasts at any realistic vocab)
+    and re-aggregate per doc. Two linear passes at 100 TB."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    t = stage(d.select("doc_id", toks.alias("t")), "bigram-toks")
+    n = F.size("t")
+    pair_structs = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+    )
+    pairs = t.filter(n >= 2).select(
+        "doc_id", F.explode(pair_structs).alias("p")
+    ).select("doc_id", "p.prev", "p.tok")
+    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt_big"))
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cnt_prev"))
+    uni = (
+        t.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_tok"))
+    )
+    tot = uni.agg(F.sum("cnt_tok").alias("n_total"))
+    p_interp = (
+        F.lit(0.75)
+        * F.col("cnt_big").cast("double")
+        / F.col("cnt_prev").cast("double")
+    ) + (
+        F.lit(0.25)
+        * F.col("cnt_tok").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return (
+        pairs.join(big, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(uni, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(F.log2(p_interp)) / F.count(F.lit(1)), 6).alias(
+                "avg_nll2"
+            ),
+        )
+    )

@@ -252,10 +252,13 @@ def test_destructive_ops_use_wide_hash_identity():
     DESTRUCTIVE below — that is the review this test encodes."""
     import inspect
 
-    from minibatch_spark.operators.curation import docs_dedup_substrings
+    from minibatch_spark.operators.curation import (
+        docs_dedup_substrings,
+        docs_line_dedup,
+    )
     from minibatch_spark.operators.text import docs_strip_boilerplate
 
-    DESTRUCTIVE = (docs_dedup_substrings, docs_strip_boilerplate)
+    DESTRUCTIVE = (docs_dedup_substrings, docs_line_dedup, docs_strip_boilerplate)
     for fn in DESTRUCTIVE:
         src = inspect.getsource(fn)
         body = "\n".join(

@@ -818,3 +818,43 @@ def test_range_search_shuffle_free(spark):
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_emb_decontaminate_broadcasts_eval_side(spark):
+    """Both eval-side joins (bands for candidates, vectors for verify)
+    must broadcast: at 100 TB the benchmark suite is tiny next to the
+    train corpus, so the corpus is read once with map-side candidate
+    generation + verify — no shuffle of the big side before the final
+    bounded aggregate, and never a cross join."""
+    from minibatch_spark.plans import broadcast_join_count, explain_str
+
+    df = _q("emb_decontaminate")(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_bigram_logprob_builds_pairs_array_side(spark):
+    """Bigram pairs come from zip_with over two array slices INSIDE the
+    row — no Window (a lag-over-position window would shuffle the
+    exploded corpus by doc_id before any counting) and no cross join
+    (the 1-row total broadcasts)."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("text_bigram_logprob")(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_single_identity_exchange(spark):
+    """The repeated-line aggregate exchanges on the 16-byte md5 line key
+    exactly once (map-side combined); no window over the exploded corpus
+    and no cross join — the canonical-occurrence choice is min(ek)
+    inside that one aggregate, not a rank."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("docs_line_dedup")(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # formatted mode puts Exchange args on their own line; exactly one
+    # hash exchange keyed on the line hash (partial agg combined map-side)
+    assert plan.count("hashpartitioning(lh") == 1
