@@ -2091,3 +2091,108 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- character-entropy quality gate --------------------------------------
+#
+# Letter-count extraction via length-difference (len(s) - len(replace(s,
+# ch, ''))) — 26 pure string expressions, whole-stage codegen, NO explode
+# and NO shuffle: the entire operator is a per-row map over the scan. The
+# per-doc entropy sums 26 terms in a FIXED a..z expression order on both
+# engines, so the float result is reproducible; round(_, 6) is the shared
+# cross-engine float contract (see _doc_nll).
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _letter_count(col, ch: str):
+    return F.length(col) - F.length(F.replace(col, F.lit(ch)))
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+    WITH low AS (
+      SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id,
+             { ", ".join(
+                 f"length(s) - length(replace(s, '{c}', '')) AS n_{c}"
+                 for c in _LETTERS
+             ) }
+      FROM low
+    ),
+    tot AS (
+      SELECT doc_id,
+             { " + ".join(f"n_{c}" for c in _LETTERS) } AS n_letters,
+             { ", ".join(f"n_{c}" for c in _LETTERS) }
+      FROM cnt
+    )
+    SELECT doc_id, n_letters,
+           round(CASE WHEN n_letters = 0 THEN 0.0 ELSE -(
+             { " + ".join(
+                 f"CASE WHEN n_{c} = 0 THEN 0.0 ELSE"
+                 f" (CAST(n_{c} AS DOUBLE) / n_letters)"
+                 f" * log2(CAST(n_{c} AS DOUBLE) / n_letters) END"
+                 for c in _LETTERS
+             ) }
+           ) END, 6) AS char_entropy,
+           CASE WHEN n_letters = 0 OR -(
+             { " + ".join(
+                 f"CASE WHEN n_{c} = 0 THEN 0.0 ELSE"
+                 f" (CAST(n_{c} AS DOUBLE) / n_letters)"
+                 f" * log2(CAST(n_{c} AS DOUBLE) / n_letters) END"
+                 for c in _LETTERS
+             ) }
+           ) < 2.0 THEN 1 ELSE 0 END AS low_entropy
+    FROM tot
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/repetition detector real curation pipelines run before
+    anything tokenizer-shaped (a keyboard-mash or single-char-spam doc
+    has near-zero letter entropy; natural English sits near 4.2 bits).
+
+    Shape: ZERO shuffles — 26 letter counts fall out of length/replace
+    expression pairs fused into the parquet scan's codegen stage, and
+    the entropy is a fixed-order 26-term per-row sum. At 100 TB this is
+    the ideal operator form: embarrassingly parallel, no state, cost
+    exactly one read of the text column (plan-pinned by
+    tests/test_plans.py::test_text_char_entropy_no_exchange).
+
+    Complements text_quality_score (token-level stopword band) and
+    text_repetition_quality (n-gram duplication): entropy catches
+    low-diversity CHARACTER streams those token-level signals miss.
+    Reference has no text ops (README.rst:315-322)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    staged = d.select(
+        "doc_id", *[_letter_count(s, c).alias(f"n_{c}") for c in _LETTERS]
+    )
+    from functools import reduce
+
+    n = reduce(lambda a, b: a + b, [F.col(f"n_{c}") for c in _LETTERS])
+    staged = staged.withColumn("n_letters", n)
+    nl = F.col("n_letters")
+
+    def term(c: str):
+        p = F.col(f"n_{c}").cast("double") / nl
+        return F.when(F.col(f"n_{c}") == 0, F.lit(0.0)).otherwise(
+            p * F.log2(p)
+        )
+
+    # left-fold a..z, the SAME float addition order the oracle SQL's
+    # `term_a + term_b + ...` parses to — float addition is not
+    # associative, and matching the order (not just rounding) is what
+    # keeps the two engines bit-aligned before round(_, 6)
+    ent_raw = -reduce(lambda a, b: a + b, [term(c) for c in _LETTERS])
+    ent = F.when(nl == 0, F.lit(0.0)).otherwise(ent_raw)
+    return staged.select(
+        "doc_id",
+        "n_letters",
+        F.round(ent, 6).alias("char_entropy"),
+        F.when((nl == 0) | (ent_raw < 2.0), 1).otherwise(0).alias(
+            "low_entropy"
+        ),
+    )

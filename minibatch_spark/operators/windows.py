@@ -412,3 +412,139 @@ def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         ok.alias("hll_within_5pct"),
     )
+
+
+# --- Count-Min sketch point-frequency estimates -------------------------
+#
+# CMS parameters: DEPTH seeded hash rows x WIDTH counters. Error contract:
+# est >= exact always (counters only over-count), and est <= exact + eps*N
+# with probability 1 - (1/2)^DEPTH, eps = e/WIDTH. Both engines replay the
+# sketch EXACTLY (same md5-derived cell coordinates, integer counters), so
+# the oracle checks values, not just the bound.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_pos(key, d: int):
+    """Counter coordinate of ``key`` under seed row ``d``: the shared
+    md5-60-bit hash (dedup.h64) mod WIDTH — non-negative, so ``pmod``
+    here and plain ``%`` in DuckDB agree."""
+    from minibatch_spark.operators.dedup import h64
+
+    return F.pmod(h64(F.concat(F.lit(f"cms{d}:"), key)), F.lit(CMS_WIDTH))
+
+
+_CMS_POS_SQL = (
+    "CAST(('0x' || substring(md5('cms' || {d} || ':' || {k}), 1, 15)) "
+    f"AS BIGINT) % {CMS_WIDTH}"
+)
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+    WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(d)),
+    ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT s.d, {_CMS_POS_SQL.format(d="s.d", k="ev.k")} AS pos,
+             COUNT(*) AS c
+      FROM ev CROSS JOIN seeds s
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS k, COUNT(*) AS exact_n
+      FROM events
+      WHERE user_id % 13 = 0
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_est
+      FROM probes p
+      CROSS JOIN seeds s
+      JOIN cells c
+        ON c.d = s.d
+       AND c.pos = {_CMS_POS_SQL.format(d="s.d", k="p.k")}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, exact_n, cms_est,
+           CASE WHEN cms_est >= exact_n THEN 1 ELSE 0 END AS never_under
+    FROM est
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates: per-key event counts
+    answered from DEPTH x WIDTH = 2048 integer counters instead of a
+    per-key state table.
+
+    Why this exists next to events_rollup_hll: HLL answers "how many
+    DISTINCT keys" — CMS answers "how often THIS key", the other
+    fixed-size mergeable sketch a 100 TB monitoring plane needs
+    (heavy-hitter detection, per-user rate limits) without a
+    billions-of-keys shuffle. The sketch builds in two grains to pin
+    MERGEABILITY the way events_rollup_merge does for exact partials:
+    per-day partial sketches (map-side combinable — at most
+    days x DEPTH x WIDTH cells leave any executor), then cell-wise SUM
+    into the global sketch, which is exactly the cross-shard /
+    cross-cluster merge operator (counter matrices add associatively).
+
+    Probe set = the deterministic user_id % 13 slice (bounded sample; a
+    production heavy-hitter pass probes the keys of the current batch).
+    Estimates join the probe rows against the 2048-row sketch — 4
+    broadcast joins, no shuffle of the probe side beyond its own
+    aggregate. Oracle replays every counter exactly (md5-derived
+    coordinates, integer cells): `never_under` pins the one-sided error
+    contract, and cms_est's exact value pins the sketch itself.
+
+    Reference has no sketch ops (README.rst:315-322); this is the
+    LLM-pipeline/monitoring extension mandated beyond it."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    # per-day partial sketches: explode each event into DEPTH (d, pos)
+    # coordinates, then count per (day, d, pos) — map-side combine leaves
+    # at most |days| x DEPTH x WIDTH rows per task
+    coords = e.filter(F.col("user_id").isNotNull()).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_pos(key, d).alias("pos")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    )
+    daily_sketch = coords.groupBy("day", "c.d", "c.pos").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # the merge operator: cell-wise sum of partial sketches
+    sketch = daily_sketch.groupBy("d", "pos").agg(F.sum("c").alias("c"))
+    probes = (
+        e.filter(F.pmod("user_id", F.lit(13)) == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("k", F.col("user_id").cast("string"))
+    )
+    est = probes
+    for d in range(CMS_DEPTH):
+        sk_d = sketch.filter(F.col("d") == d).select(
+            F.col("pos").alias(f"pos{d}"), F.col("c").alias(f"c{d}")
+        )
+        est = est.join(
+            F.broadcast(sk_d),
+            _cms_pos(F.col("k"), d) == F.col(f"pos{d}"),
+            "inner",
+        )
+    cms_est = F.least(*[F.col(f"c{d}") for d in range(CMS_DEPTH)])
+    return est.select(
+        "user_id",
+        "exact_n",
+        cms_est.alias("cms_est"),
+        F.when(cms_est >= F.col("exact_n"), 1).otherwise(0).alias(
+            "never_under"
+        ),
+    )

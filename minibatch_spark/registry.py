@@ -50,6 +50,7 @@ def _load_all() -> None:
         relational,
         similarity,
         skew,
+        storage,
         text,
         tpch,
         windows,

@@ -858,3 +858,38 @@ def test_line_dedup_single_identity_exchange(spark):
     # formatted mode puts Exchange args on their own line; exactly one
     # hash exchange keyed on the line hash (partial agg combined map-side)
     assert plan.count("hashpartitioning(lh") == 1
+
+
+def test_cms_heavy_hitters_broadcast_sketch(spark):
+    """The 2048-row sketch reaches the probe rows via 4 BROADCAST joins
+    (one per seed row); no cartesian, no shuffle of the probe side beyond
+    its own aggregate."""
+    from minibatch_spark.plans import broadcast_join_count, explain_str
+
+    df = _q("events_cms_heavy_hitters")(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 4
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_join_bucketed_colocated_plan(spark):
+    """The registry's bucketed fact-fact join: SortMergeJoin with NO
+    exchange under it — the ONLY hash exchange in the whole plan is the
+    final 5-group aggregate. (The generic layout mechanism is pinned by
+    test_bucketed_join_no_shuffle; this guards the registered query.)"""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("join_bucketed_colocated")(spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_char_entropy_no_exchange(spark):
+    """Character entropy is a pure per-row map fused with the parquet
+    scan: ZERO exchanges, zero windows, zero joins anywhere in the plan."""
+    from minibatch_spark.plans import explain_str
+
+    plan = explain_str(_q("text_char_entropy")(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
