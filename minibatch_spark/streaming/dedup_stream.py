@@ -45,6 +45,8 @@ def dedup_doc_stream(
     available_now: bool = True,
     on_batch: Optional[Callable[[int, int, int], None]] = None,
     compact_every: int = 16,
+    compact_min_delta_bytes: int = 256 * 1024,
+    compact_ratio: float = 0.25,
 ) -> "StreamingQuery":
     """Start the streaming dedup: ``docs`` is a STREAMING DataFrame with
     (doc_id long, text string) columns; kept documents land in
@@ -54,22 +56,26 @@ def dedup_doc_stream(
     ``on_batch(batch_id, n_docs, n_kept)`` is an optional observer hook
     (metrics/backpressure), called after each batch commits.
 
-    ``compact_every=N`` (0 disables): every N batches the handler runs
-    ``store.compact()`` at the ONE safe point the rollback contract
-    allows — the start of a batch's handler, when every earlier batch's
-    checkpoint has committed and can never be replayed. The current
-    batch's own tag is EXCLUDED from the compaction (a replayed attempt
-    may have left partial appends that must stay rollbackable), then
-    rolled back and reprocessed as usual. Without a cadence a
-    thousand-batch ingest accretes a delta file per root per batch and
-    the pruned-base reads degrade back toward full scans.
+    ``compact_every=N`` (0 disables): every N batches the handler calls
+    ``store.maybe_compact()`` at the ONE safe point the rollback
+    contract allows — the start of a batch's handler, when every earlier
+    batch's checkpoint has committed and can never be replayed. The call
+    is RATIO-GATED (it compacts only once accumulated deltas exceed a
+    fraction of the base — the LSM geometric-amortization contract), so
+    most cadence hits are cheap no-ops. The current batch's own tag is
+    EXCLUDED from any compaction (a replayed attempt may have left
+    partial appends that must stay rollbackable), then rolled back and
+    reprocessed as usual. Without a cadence a thousand-batch ingest
+    accretes a delta file per root per batch forever.
 
     Scale shape per micro-batch: the batch's band table is broadcast
     against the standing store (store never shuffled, corpus text never
-    rescanned — signature-width reads only) and PRUNED to the batch's
-    key prefixes; appends are parquet file adds. A thousand-shard ingest
-    costs the same total work as the one-shot batch dedup, which is the
-    batch-invariance the `dedup_incremental_minhash` oracle pins."""
+    rescanned — signature-width reads only); the store's compacted bases
+    are EPOCH-CACHED executor-resident frames, so the per-batch standing
+    read costs cached-block scans plus the bounded delta files; appends
+    are parquet file adds. A thousand-shard ingest costs the same total
+    work as the one-shot batch dedup, which is the batch-invariance the
+    `dedup_incremental_minhash` oracle pins."""
     store = MinhashDedupStore(spark, store_dir)
 
     def _handle(batch_df: "DataFrame", batch_id: int) -> None:
@@ -78,7 +84,11 @@ def dedup_doc_stream(
             # safe point: batches < batch_id are checkpoint-committed and
             # will never replay; THIS tag is excluded so a partial prior
             # attempt of this very batch stays raw for the rollback below
-            store.compact(exclude_tags={tag})
+            store.maybe_compact(
+                exclude_tags={tag},
+                min_delta_bytes=compact_min_delta_bytes,
+                ratio=compact_ratio,
+            )
         # replay-safe: undo any prior (possibly partial) attempt of THIS
         # batch before reprocessing — restores the pre-batch store
         store.rollback(tag)

@@ -314,7 +314,10 @@ def test_band_base_prune_shows_partition_filters(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     store = _store(spark, tmp_path, "pfilter")
     store.process_batch(docs)
-    store.compact(n_buckets=4)
+    # target_partition_bytes=1 forces the finest (gsz=1, 256-dir) split:
+    # the default scales partition count to base size, and a test-sized
+    # store would get ONE unpartitioned base (nothing to prune)
+    store.compact(n_buckets=4, target_partition_bytes=1)
 
     some = [
         r.p
@@ -327,7 +330,9 @@ def test_band_base_prune_shows_partition_filters(spark, tmp_path):
     pruned = store.bands(prefixes=some)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bp" in plan, plan
-    allowed = {f"bp={p}" for p in some}
+    from minibatch_spark.operators.incremental import _groups_of
+
+    allowed = {f"bp={g}" for g in _groups_of(some, 1)}
     for f in pruned.inputFiles():
         seg = next((s for s in f.split("/") if s.startswith("bp=")), None)
         assert seg is None or seg in allowed, f
@@ -349,16 +354,20 @@ def test_exact_and_sig_base_prune_input_files(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     store = _store(spark, tmp_path, "xprune")
     store.process_batch(docs)
-    store.compact(n_buckets=4)
+    store.compact(n_buckets=4, target_partition_bytes=1)
     # one delta batch on top of the bases
     store.process_batch(_docs(spark, [(9001, "novel text about pruning ok yes")]))
 
     fullx = {(r.text_hash, r.doc_id) for r in store.exact().collect()}
     px = sorted({h[:2] for h, _ in fullx})[:3]
+    from minibatch_spark.operators.incremental import _groups_of
+
     pruned = store.exact(prefixes=px)
     for f in pruned.inputFiles():
         seg = next((s for s in f.split("/") if s.startswith("xp=")), None)
-        assert seg is None or seg in {f"xp={p}" for p in px}, f
+        assert seg is None or seg in {
+            f"xp={g}" for g in _groups_of(px, 1)
+        }, f
     got = {(r.text_hash, r.doc_id) for r in pruned.collect()}
     want = {(h, d) for h, d in fullx if h[:2] in set(px) or d == 9001}
     assert got == want
@@ -368,7 +377,9 @@ def test_exact_and_sig_base_prune_input_files(spark, tmp_path):
     sp = store.sigs(dpfxs=ds)
     for f in sp.inputFiles():
         seg = next((s for s in f.split("/") if s.startswith("sp=")), None)
-        assert seg is None or seg in {f"sp={v}" for v in ds}, f
+        assert seg is None or seg in {
+            f"sp={g}" for g in _groups_of(ds, 1)
+        }, f
     assert {r.doc_id for r in sp.collect()} == {
         d for d in fulls if d % 256 in set(ds) or d == 9001
     }
@@ -414,3 +425,58 @@ def test_store_survives_restart_after_full_compact(spark, tmp_path):
         _docs(spark, [(10, BASE), (11, NEAR), (12, "tiny new doc here ok")])
     )
     assert {r.doc_id: r.keep for r in r2.collect()} == {10: 0, 11: 0, 12: 1}
+
+
+def test_maybe_compact_gates_on_delta_ratio(spark, tmp_path):
+    """maybe_compact is the LSM merge policy: a no-op while accumulated
+    deltas sit under max(min_delta_bytes, ratio x base bytes), a real
+    compaction once they exceed it — and never wrong either way."""
+    from minibatch_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = _store(spark, tmp_path, "gate")
+    store.process_batch(docs.filter(F.col("doc_id") < 100))
+    # tiny store, huge min_delta_bytes -> gate closed, nothing compacts
+    assert store.maybe_compact(min_delta_bytes=1 << 30) is False
+    assert store._manifest() is None
+    # gate forced open -> compacts for real
+    assert store.maybe_compact(min_delta_bytes=0, ratio=0.0) is True
+    assert store._manifest() is not None
+    # freshly compacted, no deltas -> closed again even at ratio 0.25
+    assert store.maybe_compact(min_delta_bytes=0) is False
+    # keep decisions unaffected by the gate dance
+    r = store.process_batch(docs.filter(F.col("doc_id") < 100))
+    assert r.filter(F.col("keep") == 1).count() + r.filter(
+        F.col("keep") == 0
+    ).count() == r.count()
+    assert r.filter(F.col("keep") == 1).count() == 0  # all dups of batch 1
+
+
+def test_epoch_cache_survives_clear_cache_and_flips(spark, tmp_path):
+    """The epoch-cached bases must never change RESULTS: keep decisions
+    are identical whether the cache is warm, externally cleared
+    (clearCache drops the blocks; stage_is_live forces a re-persist from
+    the immutable base location), or invalidated by a compaction flip."""
+    from minibatch_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    s1, s2, s3 = (
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    )
+
+    def run(store, clear_between):
+        ks = []
+        for i, sh in enumerate((s1, s2, s3)):
+            if i == 1:
+                store.maybe_compact(min_delta_bytes=0, ratio=0.0)
+            if clear_between and i > 0:
+                store.spark.catalog.clearCache()
+            r = store.process_batch(sh)
+            ks.extend(
+                sorted((x.doc_id, x.keep) for x in r.collect())
+            )
+        return ks
+
+    a = run(_store(spark, tmp_path, "cacheA"), clear_between=False)
+    b = run(_store(spark, tmp_path, "cacheB"), clear_between=True)
+    assert a == b and len(a) > 0

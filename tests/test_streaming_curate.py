@@ -261,7 +261,10 @@ def test_prefs_prune_input_files_and_slice(spark, tmp_path):
     store = CurateStore(spark, os.path.join(str(tmp_path), "pf"))
     shards = _doc_shards(spark)
     store.process_batch(shards[0], batch_tag="b0")
-    store.compact()
+    # target_partition_bytes=1 forces the finest (gsz=1) split: default
+    # granularity scales with base size and a test-sized store would get
+    # ONE unpartitioned base (nothing to prune)
+    store.compact(target_partition_bytes=1)
     store.process_batch(shards[1], batch_tag="b1")  # delta on top
 
     full = [(r.doc_id, r.n, r.sh1) for r in store.prefs().collect()]
@@ -357,6 +360,9 @@ def test_compact_every_batch_report_matches_batch(spark, tmp_path):
     q = curate_doc_stream(
         spark, stream, os.path.join(base, "store"), os.path.join(base, "ckpt"),
         compact_every=1,
+        # force the ratio gate open: this test exercises the flip itself
+        # (maybe_compact's no-op path is covered separately)
+        compact_min_delta_bytes=0, compact_ratio=0.0,
     )
     q.awaitTermination()
     store = CurateStore(spark, os.path.join(base, "store"))

@@ -269,6 +269,9 @@ def test_compact_every_batch_matches_single_pass(spark, tmp_path):
         spark, _stream(spark, src), os.path.join(base, "store"),
         os.path.join(base, "sink"), os.path.join(base, "ckpt"),
         compact_every=1,
+        # force the ratio gate open: this test exercises the compaction
+        # path itself (maybe_compact's no-op gate is covered separately)
+        compact_min_delta_bytes=0, compact_ratio=0.0,
     )
     q.awaitTermination()
     kept = sorted(
