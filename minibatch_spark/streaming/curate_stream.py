@@ -681,7 +681,24 @@ class CurateStore:
             "doc_a", "doc_b", "n_a", "n_b", "big_id",
             F.explode("sh").alias("sh1"),
         )
-        posting = both.select("doc_id", F.explode("sh").alias("sh1"))
+        # posting rows ONLY for docs that are the big side of some
+        # candidate: exploding the WHOLE standing table here was an
+        # O(Σ|sh| over store) cost per batch — measured as the curate
+        # store's slope at the sf1 audit scale (2 -> 8 s/batch) even
+        # with the base epoch-cached. The semi join scans the cached
+        # arrays WITHOUT exploding them and bounds the explode input by
+        # the candidate set, so verify cost tracks candidates, not the
+        # store.
+        big_ids = sized.select(F.col("big_id").alias("doc_id")).distinct()
+        posting = both.join(big_ids, "doc_id", "left_semi").select(
+            "doc_id", F.explode("sh").alias("sh1")
+        )
+        # observability: candidate count per batch (cheap — cand is staged,
+        # so this reads the persisted frame). The slope audit uses it to
+        # separate candidate-bound verify growth (an exactness cost on
+        # low-entropy corpora: every All-Pairs candidate must be examined)
+        # from overhead growth (a bug).
+        self.last_cand_count = cand.count()
         common = (
             probes.join(
                 posting.select(F.col("doc_id").alias("big_id"), "sh1"),
