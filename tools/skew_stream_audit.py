@@ -40,14 +40,14 @@ term), and every number below is a committed measurement, not a hope:
 - At sf0.1 no threshold separates sick from healthy: fixed per-batch job
   latency (~1.7 s) drowns the ~0.6 s standing-scan term — the round-8
   full-re-read code measures only 1.20-1.24 (40/80-batch horizons,
-  SKEW_STREAM_r09_r8code_40b/80b) while the audit's own noise band
+  SKEW_STREAM_r8code40b/80b_r09) while the audit's own noise band
   spans ~±0.1 (ivf: 0.88-1.09 across runs).
 - At sf1 the round-8 dedup code FIRES and the round-9 epoch-cached dedup
-  store is flat (0.9-1.0): SKEW_STREAM_r09_r8code_sf1 vs
+  store is flat (0.9-1.0): SKEW_STREAM_r8codesf1_r09 vs
   SKEW_STREAM_r09.
 - The mid-round-9 partitioned-base-only code measured WORSE than round 8
   (slope 1.78/2.44 at sf0.1 with 4096 tiny base files,
-  SKEW_STREAM_r09_midround_80b) — the measurement that forced the epoch
+  SKEW_STREAM_midround80b_r09) — the measurement that forced the epoch
   cache.
 - The curate store's sf1 slope stays ABOVE threshold on round-9 code
   (flagged in SKEW_STREAM_r09, disclosed, tracked for round 10): its
