@@ -221,6 +221,14 @@ class MinhashDedupStore:
         # per-compaction-EPOCH cache of each compacted base (see
         # _cached_base). Invalidated on every compaction flip.
         self._epoch_cache: dict = {}
+        # opt-in observability (the slope audit sets it): when True,
+        # process_batch records the batch's LSH candidate-pair count in
+        # ``last_cand_count`` — one extra count() over the staged frame
+        # per batch, skipped by default (round-9 ADVICE on the curate
+        # store's unconditional counter; symmetric here so both stores'
+        # slope rows carry the same candidate attribution)
+        self.count_candidates = False
+        self.last_cand_count: "int | None" = None
         os.makedirs(store_dir, exist_ok=True)
 
     def rollback(self, batch_tag: str) -> None:
@@ -331,9 +339,18 @@ class MinhashDedupStore:
 
     # --- epoch-cached standing state (the per-batch probe path) ----------
 
-    def _cached_base(self, root_name: str, location: str, schema: str):
+    def _cached_base(
+        self, root_name: str, location: str, schema: str, loader=None
+    ):
         """The compacted base at ``location`` as a PERSISTED DataFrame,
-        memoized until the next compaction flip.
+        memoized until the next compaction flip. ``loader`` overrides the
+        raw file read — the bands root passes the CATALOG-TABLE read so
+        the cached plan keeps the bucketed scan's hash distribution
+        (InMemoryRelation preserves its child's outputPartitioning): the
+        documented non-broadcastable-shard fallback (shuffle only the
+        shard to the store's bucket layout) then holds on the hot path
+        too, whenever the view is delta-free (right after a compaction;
+        a base+delta union necessarily loses the single partitioning).
 
         This is the streaming probe's standing state: re-reading the base
         from parquet EVERY micro-batch pays file listing + open + decode
@@ -356,9 +373,12 @@ class MinhashDedupStore:
             return ent[1]
         if ent is not None:
             ent[1].unpersist(blocking=False)
-        df = self._read_files(self._files(location), schema).persist(
-            StorageLevel.MEMORY_AND_DISK
+        src = (
+            loader()
+            if loader is not None
+            else self._read_files(self._files(location), schema)
         )
+        df = src.persist(StorageLevel.MEMORY_AND_DISK)
         self._epoch_cache[root_name] = (location, df)
         return df
 
@@ -397,7 +417,18 @@ class MinhashDedupStore:
             for f in self._files(root_dir)
             if os.path.realpath(f) not in covered
         ]
-        base = self._cached_base(root_name, ent["location"], schema)
+        loader = None
+        if root_name == "bands":
+            # read the base through the registered bucketed table so the
+            # cached plan preserves the bucket distribution (round-9
+            # ADVICE: the raw-file read dropped it) — same files, same
+            # rows, but a delta-free epoch keeps the no-store-exchange
+            # join on the hot path too
+            bman = self._manifest()
+            loader = lambda: self._base_table(bman).select(  # noqa: E731
+                "doc_id", "band_key"
+            )
+        base = self._cached_base(root_name, ent["location"], schema, loader)
         if delta:
             return base.unionByName(self._read_files(delta, schema))
         return base
@@ -899,6 +930,11 @@ class MinhashDedupStore:
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]),
             f"incdedup-cand-{tag}",
+        )
+        # opt-in candidate accounting (see __init__) — reads the staged
+        # frame, so the enabled cost is one cheap job per batch
+        self.last_cand_count = (
+            cand.count() if self.count_candidates else None
         )
         all_sigs = self._probe_view("sigs").unionByName(sigs_new)
         sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -26,9 +26,13 @@ from minibatch_spark.registry import query
 
 N_BUCKETS = 16
 
-# (session id, sf_dir) -> True once the bucketed pair is written. Bucketed
-# tables live in the SESSION catalog (parquet data-source tables), so a new
-# SparkSession must re-create them even if the files survived in scratch.
+# (applicationId, sf_dir) -> True once the bucketed pair is written.
+# Bucketed tables live in the SESSION catalog (parquet data-source
+# tables), so a new SparkSession must re-create them even if the files
+# survived in scratch. Keyed on applicationId, not id(sparkContext):
+# id() values can be recycled after an old context is GC'd, and a false
+# memo hit would skip table creation and fail with table-not-found
+# (round-9 ADVICE).
 _BUCKETED_READY: dict = {}
 
 
@@ -37,7 +41,7 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple:
     ``sf_dir``; returns the two table names. One write per (session,
     sf_dir) — the memo mirrors the production shape, where bucketing is
     a one-time layout decision amortized over every recurring join."""
-    key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     tag = hashlib.md5(key[1].encode()).hexdigest()[:8]
     t_orders, t_lineitem = f"bk_orders_{tag}", f"bk_lineitem_{tag}"
     if not _BUCKETED_READY.get(key):

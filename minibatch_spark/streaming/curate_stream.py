@@ -71,7 +71,12 @@ _FACT_SCHEMA = (
     "n_unique long, quality_ok int, is_en int"
 )
 _SHINGLE_SCHEMA = "doc_id long, sh array<long>, n int"
-_PREF_SCHEMA = "doc_id long, n int, sh1 long"
+# ``pos`` (round 10): the posting's 0-based position in the FULL
+# hash-sorted shingle array — the PPJoin positional filter's input.
+# Stores written before round 10 lack the column; schema-on-read fills
+# null and the filter passes null rows (migration-safe, no backfill
+# needed — legacy postings are merely unpruned, never lost).
+_PREF_SCHEMA = "doc_id long, n int, sh1 long, pos int"
 _EDGE_SCHEMA = "doc_a long, doc_b long"
 
 # compacted-base partition columns (derivable from the data, so deltas
@@ -88,9 +93,17 @@ def _prefix_len():
 
 
 def _prefix_postings(sh_df: "DataFrame") -> "DataFrame":
-    """(doc_id, sh, n) -> one row per PREFIX element: (doc_id, n, sh1)."""
+    """(doc_id, sh, n) -> one row per PREFIX element: (doc_id, n, sh1, pos).
+    ``pos`` is 0-based within the full sorted array (the prefix is its
+    first slice, so slice position == array position) — what the PPJoin
+    positional upper bound in ``_new_edges`` consumes."""
     return sh_df.select(
-        "doc_id", "n", F.explode(F.slice("sh", 1, _prefix_len())).alias("sh1")
+        "doc_id", "n", F.posexplode(F.slice("sh", 1, _prefix_len()))
+    ).select(
+        "doc_id",
+        "n",
+        F.col("col").alias("sh1"),
+        F.col("pos").cast("int").alias("pos"),
     )
 
 
@@ -129,6 +142,13 @@ class CurateStore:
         # root name -> (compaction id, persisted base DataFrame); see
         # MinhashDedupStore._cached_base for the contract
         self._epoch_cache: dict = {}
+        # opt-in observability (the slope audit sets it): when True,
+        # process_batch records the batch's verified-candidate-pair count
+        # in ``last_cand_count`` — one extra count() job over the already-
+        # persisted candidate frame per batch, skipped by default so a
+        # production ingest pays nothing for telemetry nobody reads
+        self.count_candidates = False
+        self.last_cand_count: "int | None" = None
 
     # snapshot/rollback plumbing shared with the minhash store
     _files = staticmethod(MinhashDedupStore._files)
@@ -630,13 +650,38 @@ class CurateStore:
 
         a = batch_pf.alias("a")
         b = self._probe_view("prefs").alias("b")
+        # PPJoin positional filter (Xiao et al., WWW'08 — the standard
+        # second All-Pairs filter): any pair with |A∩B| >= alpha =
+        # ceil(t/(1+t)·(n_a+n_b)) shares its hash-order-MINIMAL common
+        # shingle inside both prefixes, and every other common element
+        # sits strictly after it in both sorted arrays — so at that
+        # posting pair 1 + min(n_a-pos_a-1, n_b-pos_b-1) >= alpha.
+        # Keeping a candidate iff SOME shared prefix posting passes is
+        # therefore lossless (the minimal common element's posting always
+        # passes) while pruning the deep-prefix collisions the size
+        # filter admits — the round-9 RED slope's candidate growth on
+        # low-prefix-entropy corpora (SKEW_STREAM_r09: slope 2.82 on the
+        # 31-word synthetic vocab). t = 4/5 makes alpha =
+        # ceil(4(n_a+n_b)/9), so the bound is exact in integer math:
+        # 9·ubound >= 4·(n_a+n_b). Legacy pos-null postings (stores
+        # written before round 10) pass — unpruned, never dropped.
+        ubound = F.lit(1) + F.least(
+            F.col("a.n") - F.col("a.pos") - 1,
+            F.col("b.n") - F.col("b.pos") - 1,
+        )
+        ppj = (
+            F.col("a.pos").isNull()
+            | F.col("b.pos").isNull()
+            | (ubound * 9 >= (F.col("a.n") + F.col("b.n")) * 4)
+        )
         cand = stage(
             a.join(
                 b,
                 (F.col("a.sh1") == F.col("b.sh1"))
                 & (F.col("a.doc_id") != F.col("b.doc_id"))
                 & (F.col("b.n") * 5 >= F.col("a.n") * 4)
-                & (F.col("a.n") * 5 >= F.col("b.n") * 4),
+                & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+                & ppj,
             )
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
@@ -693,12 +738,15 @@ class CurateStore:
         posting = both.join(big_ids, "doc_id", "left_semi").select(
             "doc_id", F.explode("sh").alias("sh1")
         )
-        # observability: candidate count per batch (cheap — cand is staged,
-        # so this reads the persisted frame). The slope audit uses it to
+        # observability, OPT-IN (round-9 ADVICE: an unconditional count()
+        # is one extra job per micro-batch for telemetry nobody reads):
+        # when the slope audit sets ``count_candidates``, record the
+        # candidate-pair count — cheap, cand is staged — so the audit can
         # separate candidate-bound verify growth (an exactness cost on
-        # low-entropy corpora: every All-Pairs candidate must be examined)
-        # from overhead growth (a bug).
-        self.last_cand_count = cand.count()
+        # low-entropy corpora) from overhead growth (a bug).
+        self.last_cand_count = (
+            cand.count() if self.count_candidates else None
+        )
         common = (
             probes.join(
                 posting.select(F.col("doc_id").alias("big_id"), "sh1"),

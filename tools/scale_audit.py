@@ -129,15 +129,44 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
         n for n in over if n in OUTPUT_BOUND and rows[n]["ratio"] <= ceiling
     ]
     sup = [n for n in over if n not in exempt]
-    out_bound = {
-        n: {**OUTPUT_BOUND[n], "max_ratio": ceiling, "ratio": rows[n]["ratio"]}
-        for n in exempt
-    }
     bad = [
         n
         for n, r in rows.items()
         if r["ratio"] and r["ratio"] > 2 * data_ratio and n not in exempt
     ]
+    # RE-VERIFY pass (round-9 VERDICT What's-wrong #2): on a co-tenant
+    # host a single burst can fake a super-linear flag — the r9 artifact
+    # carried json_extract_events at 17.6x where immediate re-measurement
+    # read ~2.44 s. Every flagged query is re-measured once (3 reps, both
+    # sides) and BOTH readings land in the artifact with a verdict:
+    # "burst" (re-measured ratio back inside the linear bar — removed
+    # from the flag lists, the refutation is in-artifact) or "real"
+    # (stays flagged). A standing flag both sides learn to ignore is how
+    # real regressions hide.
+    reverify: dict[str, dict] = {}
+    for n in sorted(set(sup) | set(bad)):
+        q = {n: queries[n]}
+        ra = time_all(spark, q, a_dir, reps=3)[n]
+        rb = time_all(spark, q, b_dir, reps=3)[n]
+        rr = round(rb / ra, 2) if ra and rb is not None else None
+        verdict = (
+            "burst" if rr is not None and rr <= data_ratio else "real"
+        )
+        reverify[n] = {
+            "flag_ratio": rows[n]["ratio"],
+            "reverify_a_sec": ra,
+            "reverify_b_sec": rb,
+            "reverify_ratio": rr,
+            "verdict": verdict,
+        }
+        if verdict == "burst":
+            sup = [x for x in sup if x != n]
+            bad = [x for x in bad if x != n]
+            rows[n]["ratio_reverified"] = rr
+    out_bound = {
+        n: {**OUTPUT_BOUND[n], "max_ratio": ceiling, "ratio": rows[n]["ratio"]}
+        for n in exempt
+    }
     print(
         json.dumps(
             {
@@ -149,6 +178,7 @@ def main(a_dir: str, b_dir: str, data_ratio: float) -> None:
                 "super_linear": sup,
                 "output_bound": out_bound,
                 "flagged_2x": bad,
+                "reverified": reverify,
             },
             allow_nan=False,  # fail loudly if a NaN ever sneaks back in
         )

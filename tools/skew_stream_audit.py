@@ -140,6 +140,11 @@ def run_curate(spark, sf_dir: str, n_shards: int) -> dict:
     from minibatch_spark.streaming.curate_stream import CurateStore
 
     store = CurateStore(spark, _fresh("curate"))
+    # opt in to per-batch candidate counts (off by default so production
+    # ingests never pay the extra job): the slope is then readable
+    # against CANDIDATE growth — exact All-Pairs verify work is
+    # candidate-bound by construction
+    store.count_candidates = True
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
@@ -149,9 +154,6 @@ def run_curate(spark, sf_dir: str, n_shards: int) -> dict:
         t0 = time.monotonic()
         store.process_batch(sh, batch_tag=f"b{i}")
         walls.append(time.monotonic() - t0)
-        # deterministic per-batch candidate count (when the store exposes
-        # it): lets the slope be read against CANDIDATE growth — exact
-        # All-Pairs verify work is candidate-bound by construction
         cands.append(getattr(store, "last_cand_count", None))
         _maybe_compact(store, i, n_shards, cwalls)
     # the report is the read side of the store — include one at the end
@@ -174,17 +176,22 @@ def run_dedup(spark, sf_dir: str, n_shards: int) -> dict:
     from minibatch_spark.operators.incremental import MinhashDedupStore
 
     store = MinhashDedupStore(spark, _fresh("dedup"))
+    store.count_candidates = True  # same attribution data as curate
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    walls, cwalls = [], []
+    walls, cwalls, cands = [], [], []
     for i in range(n_shards):
         sh = d.filter(F.col("doc_id") % n_shards == i)
         t0 = time.monotonic()
         r = store.process_batch(sh, batch_tag=f"b{i}")
         _noop(r)
         walls.append(time.monotonic() - t0)
+        cands.append(getattr(store, "last_cand_count", None))
         r.unpersist(blocking=False)  # consumed; keep the JVM cache bounded
         _maybe_compact(store, i, n_shards, cwalls)
-    return {"batch": walls, "extra": {}, "compact": cwalls}
+    out = {"batch": walls, "extra": {}, "compact": cwalls}
+    if any(c is not None for c in cands):
+        out["cand"] = cands
+    return out
 
 
 def run_ivf(spark, sf_dir: str, n_shards: int) -> dict:
@@ -312,6 +319,29 @@ def main(
             else None
         )
         slope = _slope_ratio(sh10["per_batch_sec"])
+        # candidate-normalized attribution (round-9 VERDICT Missing #2 /
+        # the batch scale-audit's output_bound discipline): exact
+        # All-Pairs verify work is candidate-bound by construction, so a
+        # wall slope that merely TRACKS candidate growth is an exactness
+        # cost of the corpus, not an overhead bug — flag only when wall
+        # grows FASTER than candidates (or when no candidate data exists
+        # to normalize against). Both readings land in the artifact, so
+        # the verdict is decidable from the JSON alone.
+        cand_arr = sh10.get("cand_per_batch")
+        cand_slope = (
+            _slope_ratio(cand_arr)
+            if cand_arr and all(c is not None for c in cand_arr)
+            else None
+        )
+        slope_per_cand = (
+            round(slope / cand_slope, 2) if slope and cand_slope else None
+        )
+        if not slope or slope <= SLOPE_FLAG_RATIO:
+            slope_verdict = "flat"
+        elif slope_per_cand is not None and slope_per_cand <= SLOPE_FLAG_RATIO:
+            slope_verdict = "candidate_bound"
+        else:
+            slope_verdict = "flagged"
         out["scenarios"][name] = {
             "uniform": uni,
             "skewed": {**skw, "total_ratio_vs_uniform": skew_ratio},
@@ -324,13 +354,16 @@ def main(
                 **sh10,
                 "mean_batch_ratio_vs_uniform": shard_batch_ratio,
                 "slope_lastq_over_firstq": slope,
+                "cand_slope_lastq_over_firstq": cand_slope,
+                "slope_per_candidate": slope_per_cand,
+                "slope_verdict": slope_verdict,
             },
         }
         if skew_ratio and skew_ratio > 2:
             flagged_skew.append(name)
         if shard_batch_ratio and shard_batch_ratio > 2:
             flagged_shards.append(name)
-        if slope and slope > SLOPE_FLAG_RATIO:
+        if slope_verdict == "flagged":
             flagged_slope.append(name)
     out["flagged_skew_2x"] = flagged_skew
     out["flagged_shards10_per_batch_2x"] = flagged_shards
@@ -342,6 +375,15 @@ def main(
 
 
 if __name__ == "__main__":
+    # argv[3] changed meaning in round 9 (reps -> slope_dir); validate so
+    # an old-style numeric invocation fails here with a clear message
+    # instead of deep inside a spark read (round-9 ADVICE)
+    if len(sys.argv) > 3 and not os.path.isdir(sys.argv[3]):
+        sys.exit(
+            f"skew_stream_audit: slope_dir {sys.argv[3]!r} is not a "
+            "directory. Usage: skew_stream_audit.py [uniform_dir] "
+            "[skewed_dir] [slope_dir] [reps]"
+        )
     main(
         sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
         sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata/sf0.1",
