@@ -318,6 +318,51 @@ def test_legacy_store_without_prefs_backfills(spark, tmp_path):
     assert reopened._files(reopened.prefs_dir)
 
 
+def test_legacy_pos_null_prefs_still_match(spark, tmp_path):
+    """A store whose prefs were written BEFORE the PPJoin pos column
+    existed (round 10) reads pos as null via schema-on-read; the
+    positional filter must PASS those rows — legacy standing docs are
+    merely unpruned, never lost as near-dup partners."""
+    import shutil
+
+    from minibatch_spark.streaming.curate_stream import (
+        _PREF_SCHEMA,
+        CurateStore,
+    )
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "with plenty of extra words to make the shingle set long enough"
+    )
+    near_txt = base_txt + " tonight"
+    store = CurateStore(spark, os.path.join(str(tmp_path), "posnull"))
+    d1 = spark.createDataFrame(
+        [(1, base_txt, "s")], "doc_id long, text string, source string"
+    )
+    store.process_batch(d1, batch_tag="b0")
+    # rewrite the prefs root in the pre-round-10 3-column layout
+    legacy = [
+        (r.doc_id, r.n, r.sh1)
+        for r in spark.read.schema(_PREF_SCHEMA)
+        .parquet(store.prefs_dir)
+        .collect()
+    ]
+    shutil.rmtree(store.prefs_dir, ignore_errors=True)
+    spark.createDataFrame(
+        legacy, "doc_id long, n int, sh1 long"
+    ).write.parquet(store.prefs_dir)
+
+    reopened = CurateStore(spark, os.path.join(str(tmp_path), "posnull"))
+    # reads of the legacy files must surface pos as null, not crash
+    assert {r.pos for r in reopened.prefs().collect()} == {None}
+    d2 = spark.createDataFrame(
+        [(2, near_txt, "s")], "doc_id long, text string, source string"
+    )
+    reopened.process_batch(d2, batch_tag="b1")
+    edges = {(r.doc_a, r.doc_b) for r in reopened.edges().collect()}
+    assert (1, 2) in edges
+
+
 def test_compact_exclude_tags_keeps_batch_rollbackable(spark, tmp_path):
     """compact(exclude_tags={t}) must leave tag t's appends out of the
     base so rollback(t) still removes them — the safety valve the

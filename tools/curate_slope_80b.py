@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""80-batch curate-store slope run at the sf1 regime (r9 VERDICT task
+#6): the 2.82 RED slope was measured on a 40-batch horizon; after the
+PPJoin positional filter this run confirms the trajectory beyond that
+window, with candidate counts in-artifact so the verdict (flat /
+candidate_bound / flagged) is decidable from the JSON alone — the same
+normalization as skew_stream_audit.py, whose machinery this reuses.
+
+Usage: python tools/curate_slope_80b.py [slope_dir] [n_batches] [reps] \
+           > SKEW_STREAM_80b_r10.json
+"""
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import skew_stream_audit as ssa  # noqa: E402
+
+
+def main(slope_dir: str, n_batches: int, reps: int) -> None:
+    from minibatch_spark.session import get_spark
+
+    shutil.rmtree(ssa.SCRATCH, ignore_errors=True)
+    spark = get_spark(app_name="curate-slope-80b")
+    m = ssa._measure(spark, ssa.run_curate, slope_dir, n_batches, reps)
+    slope = ssa._slope_ratio(m["per_batch_sec"])
+    cand = m.get("cand_per_batch")
+    cand_slope = (
+        ssa._slope_ratio(cand)
+        if cand and all(c is not None for c in cand)
+        else None
+    )
+    spc = round(slope / cand_slope, 2) if slope and cand_slope else None
+    if not slope or slope <= ssa.SLOPE_FLAG_RATIO:
+        verdict = "flat"
+    elif spc is not None and spc <= ssa.SLOPE_FLAG_RATIO:
+        verdict = "candidate_bound"
+    else:
+        verdict = "flagged"
+    print(
+        json.dumps(
+            {
+                "scenario": "curate",
+                "slope_dir": slope_dir,
+                "reps": reps,
+                "compact_every": ssa.COMPACT_EVERY,
+                **m,
+                "slope_lastq_over_firstq": slope,
+                "cand_slope_lastq_over_firstq": cand_slope,
+                "slope_per_candidate": spc,
+                "slope_verdict": verdict,
+            },
+            allow_nan=False,
+        )
+    )
+    shutil.rmtree(ssa.SCRATCH, ignore_errors=True)
+    if verdict == "flagged":
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkdata/sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 80,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+    )

@@ -49,15 +49,19 @@ term), and every number below is a committed measurement, not a hope:
   (slope 1.78/2.44 at sf0.1 with 4096 tiny base files,
   SKEW_STREAM_midround80b_r09) — the measurement that forced the epoch
   cache.
-- The curate store's sf1 slope stays ABOVE threshold on round-9 code
-  (flagged in SKEW_STREAM_r09, disclosed, tracked for round 10): its
-  growth is CANDIDATE-bound, not overhead — exact All-Pairs semantics
-  must examine every prefix-colliding pair, and the 31-word synthetic
-  vocabulary makes prefix collisions ~linear in store size.
-  ``cand_per_batch`` is recorded so the candidate-growth attribution is
-  measurable; the O(store)-per-batch posting-table explode that was also
-  in that path WAS fixed this round (posting side semi-joined to
-  candidate big-ids before exploding).
+- The curate store's sf1 slope stayed ABOVE threshold on round-9 code
+  (2.82, flagged in SKEW_STREAM_r09): candidate-bound All-Pairs growth
+  — exact semantics must examine every prefix-colliding pair, and the
+  31-word synthetic vocabulary makes prefix collisions ~linear in store
+  size. Round 10 (a) prunes candidates with the PPJoin positional
+  filter (curate_stream._new_edges) and (b) NORMALIZES the flag: both
+  stores opt in to per-batch candidate counts (``count_candidates``),
+  ``cand_per_batch`` + its own quartile slope land in the artifact, and
+  the flag fires only when wall grows FASTER than candidates
+  (``slope_verdict``: flat / candidate_bound / flagged) — the batch
+  scale-audit's output_bound discipline. A wall slope that merely
+  tracks candidate growth is an exactness cost of the corpus; one that
+  exceeds it is an overhead bug.
 
 Noise discipline: per-batch walls are ELEMENTWISE minima across reps
 (this host is co-tenant noisy; a single slow run would fake a slope), the
