@@ -114,9 +114,10 @@ class CurateStore:
     file-list reads and rollback exactly like MinhashDedupStore):
     ``facts/`` per-doc flag/count rows, ``shingles/`` per-doc sorted
     xxhash64 shingle sets (the exact-Jaccard verify index), ``prefs/``
-    the PERSISTED All-Pairs prefix postings (doc_id, n, sh1 — the
-    candidate-join index, so standing prefixes are never re-derived from
-    the arrays), ``edges/`` the verified pair graph.
+    the PERSISTED All-Pairs prefix postings (doc_id, n, sh1, pos — the
+    candidate-join index, so standing prefixes are never re-derived
+    from the arrays; ``pos`` feeds the PPJoin positional filter, see
+    ``_new_edges``), ``edges/`` the verified pair graph.
 
     Standing-side reads (the round-8 weak mark — per-batch wall grew
     linearly with store size) go through the EPOCH CACHE: each root's

@@ -70,6 +70,19 @@ def main(sf_dir, merge_counts):
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
+    # a synthetic OPEN-VOCAB corpus from the wide word table: the real
+    # corpus's 31-word vocabulary fully merges by ~89 merges, so its
+    # fertility is 1.0 at ANY realistic count — the merge-count fertility
+    # signal needs words the small tokenizer cannot fully merge
+    rng = random.Random(7)
+    wide_words = [r.word for r in _wide_vocab(spark, 4000).collect()]
+    syn = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(wide_words) for _ in range(50)))
+            for i in range(2000)
+        ],
+        "doc_id long, text string",
+    )
     runs = []
     for n_merges in merge_counts:
         t0 = time.monotonic()
@@ -83,22 +96,30 @@ def main(sf_dir, merge_counts):
             ).save()
             w = time.monotonic() - t0
             best = w if best is None or w < best else best
-        fert = (
-            apply_bpe(spark, docs, merges)
-            .agg(
-                (F.sum("n_bpe") / F.sum("n_words")).alias("f"),
-                F.sum("n_bpe").alias("t"),
+
+        def _fert(frame):
+            r = (
+                apply_bpe(spark, frame, merges)
+                .agg(
+                    (F.sum("n_bpe_tokens") / F.sum("n_words")).alias("f"),
+                    F.sum("n_bpe_tokens").alias("t"),
+                )
+                .first()
             )
-            .first()
-        )
+            return round(float(r["f"]), 4), int(r["t"])
+
+        fr, tr = _fert(docs)
+        fs, ts = _fert(syn)
         runs.append(
             {
                 "n_merges_requested": n_merges,
                 "n_merges_trained": len(merges),
                 "train_sec": round(train_wall, 3),
                 "apply_sec_min_of_3": round(best, 3),
-                "fertility_tokens_per_word": round(float(fert["f"]), 4),
-                "total_bpe_tokens": int(fert["t"]),
+                "fertility_real_corpus": fr,
+                "total_bpe_tokens_real": tr,
+                "fertility_open_vocab": fs,
+                "total_bpe_tokens_open_vocab": ts,
             }
         )
     print(
