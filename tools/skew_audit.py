@@ -50,6 +50,30 @@ def main(a_dir: str, b_dir: str) -> None:
     flagged = [n for n, v in rows.items() if v["ratio"] and v["ratio"] > 2]
     hot = [n for n, v in rows.items() if v["ratio"] and v["ratio"] > 4]
     failed = [n for n, v in rows.items() if v["skewed_sec"] is None]
+    # RE-VERIFY pass (the scale_audit discipline, r9 VERDICT What's-wrong
+    # #2): a single burst on this co-tenant host can fake a boundary flag
+    # (r10 caught text_classifier_score at 2.02 where immediate 3-rep
+    # re-measurement read 0.98). Flagged queries re-measure once, both
+    # readings land in the artifact with a burst/real verdict, and
+    # confirmed bursts leave the flag lists.
+    reverify: dict[str, dict] = {}
+    for n in sorted(flagged):
+        q = {n: queries[n]}
+        ra = time_all(spark, q, a_dir, reps=3)[n]
+        rb = time_all(spark, q, b_dir, reps=3)[n]
+        rr = round(rb / ra, 2) if ra and rb is not None else None
+        verdict = "burst" if rr is not None and rr <= 2 else "real"
+        reverify[n] = {
+            "flag_ratio": rows[n]["ratio"],
+            "reverify_uniform_sec": ra,
+            "reverify_skewed_sec": rb,
+            "reverify_ratio": rr,
+            "verdict": verdict,
+        }
+        if verdict == "burst":
+            flagged = [x for x in flagged if x != n]
+            hot = [x for x in hot if x != n]
+            rows[n]["ratio_reverified"] = rr
     print(
         json.dumps(
             {
@@ -62,6 +86,7 @@ def main(a_dir: str, b_dir: str) -> None:
                 "flagged_2x": flagged,
                 "hot_4x": hot,
                 "failed": failed,
+                "reverified": reverify,
             },
             allow_nan=False,
         )
