@@ -81,6 +81,18 @@ def main() -> None:
         queries[w](spark, warmup_sf).collect()
     spark.catalog.clearCache()
 
+    # first-slot warm (r10 VERDICT What's-wrong #1): the FIRST query
+    # executed at the measured sf absorbs residual JIT/codegen asymmetry
+    # the sf0.01 warmup doesn't cover — q1_pricing_summary (always slot
+    # 1) read >= 1.1 on BYTE-IDENTICAL code at 2 of 3 interleaved A/B
+    # scale points. One uncounted noop pass at the measured sf takes
+    # that penalty out of the measurement instead of letting it attach
+    # to whichever query happens to run first.
+    queries[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     per_query_collect: dict[str, float] = {}

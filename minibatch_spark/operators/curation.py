@@ -934,3 +934,145 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         kept_hash.alias("kept_hash"),
     )
+
+
+# ---- domain-aware dedup / per-domain caps (round 11) ----------------------
+
+# Multi-part public suffixes the registrable-domain parse recognizes —
+# deliberately a SMALL fixed list (the real public-suffix list is a data
+# file; the parsing LOGIC under test is identical): a host ending in one
+# of these keeps three labels, otherwise two. Shared verbatim with the
+# oracle SQL so both engines see identical domains.
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in",
+)
+CAP_PER_DOMAIN = 12  # max documents kept per registrable domain
+# (12, not docs_cap_per_source's 40: the cap must BIND at the sf0.01
+# correctness gate — ~19 docs land on the largest .com domains there,
+# so 40 would leave the WindowGroupLimit filter untested)
+
+# Deterministic synthetic URL standing in for a crawl's url column (the
+# documents table has none): subdomain and public suffix vary by doc_id,
+# host core by source — identical expression in Spark and the oracle, so
+# the REGISTRABLE-DOMAIN PARSE + CAP (the operator under test) is what
+# the comparison exercises. Many (subdomain, suffix) variants map to one
+# registrable domain per source — exactly the fan-in the parse must
+# collapse.
+_URL_SQL = (
+    "'https://' || (CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn' "
+    "ELSE 'img' END) || '.' || source || "
+    "(CASE WHEN doc_id % 7 < 2 THEN '.co.uk' ELSE '.com' END) "
+    "|| '/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_col() -> Column:
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, "www")
+        .when(F.col("doc_id") % 3 == 1, "cdn")
+        .otherwise("img")
+    )
+    suf = F.when(F.col("doc_id") % 7 < 2, ".co.uk").otherwise(".com")
+    return F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"), suf,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable domain (eTLD+1) of a URL: host = the authority part,
+    keep the last TWO labels — or THREE when the last two form a known
+    multi-part public suffix (co.uk and friends). Pure per-row column
+    math (regexp + array slicing), no UDF — runs inside whole-stage
+    codegen at any scale."""
+    host = F.lower(F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    k = F.when(
+        last2.isin(*MULTIPART_SUFFIXES) & (n >= 3), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(n <= k, host).otherwise(
+        F.concat_ws(".", F.slice(labels, n - k + 1, k))
+    )
+
+
+def _domain_sql(url_expr: str) -> str:
+    """The oracle's registrable-domain parse — same rule, DuckDB list
+    ops (1-based slicing via list_slice)."""
+    in_list = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    return f"""
+      SELECT *,
+             CASE WHEN len(labels) <= k THEN host
+                  ELSE array_to_string(
+                    list_slice(labels, len(labels) - k + 1, len(labels)), '.')
+             END AS domain
+      FROM (
+        SELECT *,
+               CASE WHEN len(labels) >= 3 AND
+                    (labels[-2] || '.' || labels[-1]) IN ({in_list})
+                    THEN 3 ELSE 2 END AS k
+        FROM (
+          SELECT doc_id,
+                 lower(regexp_extract({url_expr}, '^[a-z]+://([^/:?#]+)', 1))
+                   AS host,
+                 string_split(
+                   lower(regexp_extract({url_expr}, '^[a-z]+://([^/:?#]+)', 1)),
+                   '.') AS labels
+          FROM documents
+        ) __h
+      ) __k
+    """
+
+
+@query(
+    "docs_cap_per_domain",
+    oracle=f"""
+    WITH dom AS ({_domain_sql(_URL_SQL)}),
+    ranked AS (
+      SELECT domain, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY CAST(('0x' || substring(md5(domain || '#' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+             ) AS rk
+      FROM dom
+    )
+    SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {CAP_PER_DOMAIN}
+    """,
+)
+def docs_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-aware per-source cap (round-10 VERDICT task #4b): real
+    crawl pipelines cap by REGISTRABLE DOMAIN (eTLD+1), not by the raw
+    source/host string — www.x.co.uk, cdn.x.co.uk and img.x.com must
+    count against x's budget(s), which a host-keyed cap
+    (docs_cap_per_source) silently splits. The parse is
+    ``registrable_domain``: scheme-strip -> host -> last two labels, or
+    three over a multi-part public suffix; the cap is the deterministic
+    md5-rank reservoir (docs_cap_per_source's), keyed by the parsed
+    domain. The synthetic url column (subdomain + suffix varying per
+    doc) stands in for a crawl's url field — see _URL_SQL.
+
+    Plan shape: identical to docs_cap_per_source — per-row column math
+    (regexp + array ops, whole-stage codegen, NO udf), then rk <= N over
+    the domain window compiles to WindowGroupLimit: each map task
+    forwards at most N rows per domain into the single hash exchange,
+    O(#domains x N x #tasks) shuffle rows at 100 TB, never the corpus."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dom = d.select(
+        "doc_id", registrable_domain(_url_col()).alias("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        h64(F.concat(F.col("domain"), F.lit("#"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        dom.select("domain", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= CAP_PER_DOMAIN)
+        .select("domain", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )

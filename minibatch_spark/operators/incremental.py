@@ -423,9 +423,11 @@ class MinhashDedupStore:
             # cached plan preserves the bucket distribution (round-9
             # ADVICE: the raw-file read dropped it) — same files, same
             # rows, but a delta-free epoch keeps the no-store-exchange
-            # join on the hot path too
-            bman = self._manifest()
-            loader = lambda: self._base_table(bman).select(  # noqa: E731
+            # join on the hot path too. ``man`` is the manifest already
+            # read at the top of this call (round-10 ADVICE: a second
+            # read of the same file invites a torn view if the
+            # between-batches-only compaction contract is ever relaxed).
+            loader = lambda: self._base_table(man).select(  # noqa: E731
                 "doc_id", "band_key"
             )
         base = self._cached_base(root_name, ent["location"], schema, loader)

@@ -99,6 +99,19 @@ class IvfIndexStore:
         self.store_dir = store_dir
         self.cell_target = cell_target
         self._tag = uuid.uuid4().hex[:8]
+        # opt-in observability (round-10 VERDICT task #7: the slope
+        # audit's ivf row attributed by wall alone — ``cand: None``).
+        # When True, append() records the batch's assignment-row count
+        # in ``last_cand_count`` (each row scores against the FROZEN
+        # centroid set, so per-row ingest work is constant in store
+        # size — the flat-cand baseline the wall slope normalizes
+        # against) and _probe() records the probed-cell candidate rows
+        # in ``last_probe_cand_count``. Off by default: production
+        # ingests pay nothing for telemetry nobody reads (the same
+        # contract as MinhashDedupStore/CurateStore.count_candidates).
+        self.count_candidates = False
+        self.last_cand_count: "int | None" = None
+        self.last_probe_cand_count: "int | None" = None
 
     @property
     def centroids_path(self) -> str:
@@ -320,7 +333,13 @@ class IvfIndexStore:
         (default: a fresh uuid)."""
         if tag is None:
             tag = f"append-{uuid.uuid4().hex[:12]}"
-        self._append_assigned(stage(v_df, f"ivf-append-{self._tag}"), tag)
+        staged = stage(v_df, f"ivf-append-{self._tag}")
+        # opt-in candidate accounting (see __init__) — reads the staged
+        # frame, so the enabled cost is one cheap job per batch
+        self.last_cand_count = (
+            staged.count() if self.count_candidates else None
+        )
+        self._append_assigned(staged, tag)
 
     def _append_assigned(self, v_df: DataFrame, tag: str) -> None:
         from pyspark.sql.functions import pandas_udf
@@ -391,6 +410,14 @@ class IvfIndexStore:
         probe_map = self.spark.createDataFrame(
             [(r.query_id, r.cell) for r in probe_rows],
             "query_id long, cell int",
+        )
+        # opt-in probe-side candidate accounting (see __init__): the
+        # (query, vector) rows the probed cells admit — what topk /
+        # range_search / topk_adc actually score
+        self.last_probe_cand_count = (
+            pruned.join(F.broadcast(probe_map), "cell").count()
+            if self.count_candidates
+            else None
         )
         return pruned, probe_map
 

@@ -2196,3 +2196,109 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low_entropy"
         ),
     )
+
+
+# ---- token-level 13-gram exact decontamination (round 11) ----------------
+
+DECONTAM_K = 13  # the Brown/GPT-3-style exact-overlap window
+
+
+def _kgram_select(src: str, k: int) -> str:
+    """DuckDB k-gram shingle SQL — ``dedup._shingle_select`` generalized
+    to any k (that one is pinned at k=3). Same tokenize-ONCE discipline:
+    the token array is materialized in a subquery column, never inlined
+    in the list_transform lambda (the per-element re-evaluation trap —
+    83 GB RSS on a 100k-word doc)."""
+    gram = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k)
+    )
+    return f"""
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - {k - 1}, 0)),
+        i -> {gram}))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM {src}) __tk
+      WHERE len(t) >= {k}
+    """
+
+
+_DECON13_SH = f"""
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM ({_kgram_select("documents", DECONTAM_K)}) __sh
+"""
+
+
+@query(
+    "text_decontaminate_13gram",
+    oracle=f"""
+    WITH sh AS ({_DECON13_SH}),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 89 = 0),
+    corp AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM sh
+      WHERE doc_id % 89 <> 0 GROUP BY doc_id
+    ),
+    ov AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM sh c JOIN bench b ON c.h = b.h
+      WHERE c.doc_id % 89 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT corp.doc_id,
+           CAST(corp.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(ov.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN COALESCE(ov.n_hit, 0) >= 1 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM corp LEFT JOIN ov ON ov.doc_id = corp.doc_id
+    """,
+)
+def text_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-level decontamination (round-10 VERDICT task #4c): a
+    training document is contaminated iff it shares ANY 13-token gram
+    with the held-out benchmark slice (doc_id % 89 == 0 standing in for
+    an eval suite) — the Brown/GPT-3-style exact counterpart of
+    ``text_decontaminate``'s 3-gram overlap-FRACTION rule and of the
+    embedding-space ``emb_decontaminate``. Any single shared 13-gram is
+    disqualifying; no threshold tuning.
+
+    Scale shape — identical to text_decontaminate's and for the same
+    reason: the benchmark 13-gram hash set is tiny and fixed (eval
+    suites are MBs, the corpus is the 100 TB side), so it BROADCASTS and
+    the corpus streams through the semi join with no corpus shuffle; the
+    only exchange is the per-doc (doc_id, count) agg, partial-aggregated
+    map-side. 13-grams are md5-60-bit hashed (dedup.h64) before the join
+    — 8-byte keys, oracle-identical hashing, so even collisions agree.
+    Docs under 13 tokens have no 13-gram and are out of scope by
+    construction (both engines filter len >= 13)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from minibatch_spark.operators.dedup import shingles_of
+
+    sh = (
+        d.select("doc_id", tokens("text").alias("tk"))
+        .select(
+            "doc_id", shingles_of(F.col("tk"), k=DECONTAM_K).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: _h64(s)).alias("hs"),
+        )
+    )
+    sh = stage(sh, "decontam13-hashes")
+    is_bench = F.col("doc_id") % 89 == 0
+    bench = sh.filter(is_bench).select(F.explode("hs").alias("h")).distinct()
+    corp = sh.filter(~is_bench)
+    corp_docs = corp.select("doc_id", F.size("hs").alias("n_grams"))
+    ov = (
+        corp.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    return corp_docs.join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_hit.alias("n_hit"),
+        F.when(n_hit >= 1, 1).otherwise(0).alias("contaminated"),
+    )

@@ -55,6 +55,9 @@ def _load_all() -> None:
         tpch,
         windows,
     )
+    from minibatch_spark.streaming import (  # noqa: F401
+        decontam_stream,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -78,18 +78,51 @@ _SHINGLE_SCHEMA = "doc_id long, sh array<long>, n int"
 # needed — legacy postings are merely unpruned, never lost).
 _PREF_SCHEMA = "doc_id long, n int, sh1 long, pos int"
 _EDGE_SCHEMA = "doc_a long, doc_b long"
+# ``cbands`` (round 11): banded-minhash candidate index for
+# candidate_mode='minhash' — empty (and never written) in exact mode.
+_CBAND_SCHEMA = "doc_id long, band_key string"
 
 # compacted-base partition columns (derivable from the data, so deltas
 # never carry them; same LSM recipe as operators/incremental.py)
 _SH_PCOL = "dp"  # pmod(doc_id, 256) — verify-side lookup by candidate doc
 _PREF_PCOL = "hp"  # pmod(sh1, 256)  — candidate join lookup by shingle hash
+_CBAND_PCOL = "cp"  # band_key 2-hex prefix — minhash candidate lookup
+
+# minhash-mode banding: 8 bands of 2 rows over the 16-permutation
+# signature (the dedup module's fast_minhash_sig over the store's
+# xxhash64 shingle hashes reduced mod P). At the verify threshold
+# t = 0.8 the per-true-pair candidate probability is
+# 1 - (1 - t^2)^8 = 0.99972 — the banding is a CANDIDATE source only;
+# the exact co-occurrence verify downstream keeps precision at 1, so
+# the only semantic delta vs exact mode is that bounded recall term
+# (pinned by tools/curate_recall.py: planted pairs + measured recall
+# vs the exact store on the same corpus).
+_N_CBANDS = 8
+_CBAND_ROWS = 2
+
+# Integer coefficients of every candidate-stage filter, DERIVED from the
+# shared threshold constant (round-10 ADVICE: the hardcoded 4/5 and 9/4
+# forms would silently go lossy — false NEGATIVES in the size and PPJoin
+# filters — if NGRAM_JACCARD_THRESHOLD ever moved). t = _T_NUM/_T_DEN
+# exactly; the size filter is n*_T_DEN >= m*_T_NUM, the PPJoin bound is
+# ubound*(_T_NUM+_T_DEN) >= (n_a+n_b)*_T_NUM (alpha = ceil(t/(1+t)·Σn)),
+# and the prefix length is n - ceil(t·n) + 1.
+from fractions import Fraction as _Fraction
+
+_T = _Fraction(NGRAM_JACCARD_THRESHOLD).limit_denominator(1_000_000)
+assert float(_T) == NGRAM_JACCARD_THRESHOLD, "threshold not exactly rational"
+_T_NUM, _T_DEN = _T.numerator, _T.denominator
 
 
 def _prefix_len():
     """Elements of the hash-sorted shingle set inside the All-Pairs
-    prefix: n - ceil(t*n) + 1 with t=0.8 in integer math, matching the
-    batch operator exactly."""
-    return F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+    prefix: n - ceil(t*n) + 1 in exact integer math (t = _T_NUM/_T_DEN),
+    matching the batch operator exactly."""
+    return (
+        F.col("n")
+        - F.expr(f"({_T_NUM} * n + {_T_DEN - 1}) div {_T_DEN}")
+        + F.lit(1)
+    )
 
 
 def _prefix_postings(sh_df: "DataFrame") -> "DataFrame":
@@ -104,6 +137,47 @@ def _prefix_postings(sh_df: "DataFrame") -> "DataFrame":
         "n",
         F.col("col").alias("sh1"),
         F.col("pos").cast("int").alias("pos"),
+    )
+
+
+def _curate_band_keys(sh_df: "DataFrame") -> "DataFrame":
+    """(doc_id, sh, n) -> one row per LSH band: (doc_id, band_key) for
+    candidate_mode='minhash'. The signature is fast_minhash_sig (16
+    multiply-add permutations, operators/dedup.py) over the store's
+    xxhash64 shingle hashes reduced mod P; bands are _N_CBANDS groups of
+    _CBAND_ROWS signature components, folded into one md5 key (the
+    incremental store's band_keys recipe, re-banded 8x2 for t=0.8
+    recall — see the _N_CBANDS comment). Both selects stage their array
+    through a projection first: inline HOF arguments re-evaluate per
+    element (the O(n^2)-per-row trap)."""
+    from minibatch_spark.operators.dedup import _MINHASH_P, fast_minhash_sig
+
+    sig = (
+        sh_df.select(
+            "doc_id",
+            F.transform("sh", lambda x: F.pmod(x, F.lit(_MINHASH_P))).alias("hs"),
+        )
+        .select("doc_id", fast_minhash_sig(F.col("hs")).alias("sig"))
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(f"cb{b}:"),
+                            *[
+                                F.element_at("sig", b * _CBAND_ROWS + j + 1)
+                                for j in range(_CBAND_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(_N_CBANDS)
+                ]
+            )
+        ).alias("band_key"),
     )
 
 
@@ -131,12 +205,44 @@ class CurateStore:
     ratio-gated ``maybe_compact`` so total compaction work stays
     O(|store| log |store|) — the LSM merge discipline."""
 
-    def __init__(self, spark: "SparkSession", store_dir: str):
+    def __init__(
+        self,
+        spark: "SparkSession",
+        store_dir: str,
+        candidate_mode: str = "exact",
+    ):
+        """``candidate_mode``: how near-dup candidate pairs are sourced.
+
+        - ``'exact'`` (default, unchanged contract): All-Pairs prefix
+          postings + PPJoin — EVERY jaccard >= t pair is found, and
+          per-batch candidate count grows with the standing store on
+          low-prefix-entropy corpora (SKEW_STREAM_80b_r10: 7.08x over 80
+          batches — an exactness cost, verdict candidate_bound).
+        - ``'minhash'`` (round 11, the 100 TB production valve): banded
+          16-permutation minhash signatures source the candidates
+          (8 bands x 2 rows — per-true-pair recall 0.99972 at t=0.8,
+          measured against the exact store in CURATE_RECALL_r11.json);
+          the VERIFY stays the exact co-occurrence count, so precision
+          is unchanged — only pairs that never band together can be
+          missed. Candidates now require full-band signature agreement
+          instead of a single shared prefix hash, which is what bounds
+          candidate growth on boilerplate-heavy corpora.
+
+        Either mode can reopen a store written by the other: the missing
+        candidate index (prefs / cbands) is backfilled ONCE from the
+        shingle arrays (_ensure_prefs / _ensure_cbands)."""
+        if candidate_mode not in ("exact", "minhash"):
+            raise ValueError(
+                f"candidate_mode must be 'exact' or 'minhash', "
+                f"got {candidate_mode!r}"
+            )
         self.spark = spark
+        self.candidate_mode = candidate_mode
         self.store_dir = os.path.abspath(store_dir)
         self.facts_dir = os.path.join(self.store_dir, "facts")
         self.shingles_dir = os.path.join(self.store_dir, "shingles")
         self.prefs_dir = os.path.join(self.store_dir, "prefs")
+        self.cbands_dir = os.path.join(self.store_dir, "cbands")
         self.edges_dir = os.path.join(self.store_dir, "edges")
         os.makedirs(self.store_dir, exist_ok=True)
         self._batch = 0
@@ -183,6 +289,12 @@ class CurateStore:
                 _PREF_SCHEMA,
                 _PREF_PCOL,
                 F.pmod("sh1", F.lit(256)),
+            ),
+            "cbands": (
+                self.cbands_dir,
+                _CBAND_SCHEMA,
+                _CBAND_PCOL,
+                F.conv(F.substring("band_key", 1, 2), 16, 10).cast("long"),
             ),
             "edges": (self.edges_dir, _EDGE_SCHEMA, None, None),
         }
@@ -347,7 +459,7 @@ class CurateStore:
         import json
         import shutil
 
-        self._ensure_prefs()
+        self._ensure_index()
         roots = self._roots()
         skip = set(exclude_tags or ())
 
@@ -454,10 +566,11 @@ class CurateStore:
 
     def _ensure_prefs(self) -> None:
         """One-time migration for stores written before the prefix-postings
-        root existed: without the backfill, every standing doc silently
+        root existed (or written by a minhash-mode store and reopened in
+        exact mode): without the backfill, every standing doc silently
         stops matching new arrivals (the band-backfill lesson from the
-        minhash store). Derives (doc_id, n, sh1) from the shingle arrays
-        and persists it as a flat delta the next compact() absorbs."""
+        minhash store). Derives (doc_id, n, sh1, pos) from the shingle
+        arrays and persists it as a flat delta the next compact() absorbs."""
         if self._file_view(self.prefs_dir):
             return
         if not self._file_view(self.shingles_dir):
@@ -465,6 +578,28 @@ class CurateStore:
         _prefix_postings(self.shingles()).write.mode("append").parquet(
             self.prefs_dir
         )
+
+    def _ensure_cbands(self) -> None:
+        """The minhash-mode twin of _ensure_prefs: a store written in
+        exact mode (no cbands root) reopened with candidate_mode='minhash'
+        backfills the standing band keys ONCE from the shingle arrays, so
+        standing docs keep matching new arrivals across the mode switch."""
+        if self._file_view(self.cbands_dir):
+            return
+        if not self._file_view(self.shingles_dir):
+            return
+        _curate_band_keys(self.shingles()).write.mode("append").parquet(
+            self.cbands_dir
+        )
+
+    def _ensure_index(self) -> None:
+        """Backfill THIS mode's candidate index if absent (mode switches
+        and legacy stores); the other mode's index is left untouched —
+        never derived, never dropped."""
+        if self.candidate_mode == "minhash":
+            self._ensure_cbands()
+        else:
+            self._ensure_prefs()
 
     def _append_dir(self, root: str, batch_tag: "str | None") -> str:
         if batch_tag is None:
@@ -480,6 +615,7 @@ class CurateStore:
             self.facts_dir,
             self.shingles_dir,
             self.prefs_dir,
+            self.cbands_dir,
             self.edges_dir,
         ):
             shutil.rmtree(os.path.join(root, f"tag={batch_tag}"), ignore_errors=True)
@@ -500,6 +636,13 @@ class CurateStore:
         the cells that can share a prefix hash with the batch."""
         self._ensure_prefs()
         return self._read(self.prefs_dir, _PREF_SCHEMA, _PREF_PCOL, hpfxs)
+
+    def cbands(self, cpfxs=None) -> "DataFrame":
+        """The standing minhash band table (doc_id, band_key). ``cpfxs``
+        (band_key 2-hex-prefix values, as ints 0-255) prunes the
+        compacted base to the cells that can share a band key."""
+        self._ensure_cbands()
+        return self._read(self.cbands_dir, _CBAND_SCHEMA, _CBAND_PCOL, cpfxs)
 
     def edges(self) -> "DataFrame":
         return self._read(self.edges_dir, _EDGE_SCHEMA)
@@ -532,15 +675,22 @@ class CurateStore:
                 "fresh checkpoint (new batch ids) or a fresh store."
             )
         self._batch += 1
-        # one-time legacy backfill BEFORE this batch's appends land (its
-        # own rows must not be absorbed into the backfill)
-        self._ensure_prefs()
+        # one-time legacy/mode-switch backfill BEFORE this batch's appends
+        # land (its own rows must not be absorbed into the backfill)
+        self._ensure_index()
+        # this mode's candidate-index root (prefs for exact mode, cbands
+        # for minhash) — the other mode's index is never written
+        idx_dir, idx_schema, idx_of = (
+            (self.cbands_dir, _CBAND_SCHEMA, _curate_band_keys)
+            if self.candidate_mode == "minhash"
+            else (self.prefs_dir, _PREF_SCHEMA, _prefix_postings)
+        )
         # snapshot file lists BEFORE appending: the batch's own new files
         # are identified as the post-append set difference (correct for
         # tagged AND untagged appends — an untagged batch's files land in
         # the flat root next to earlier batches')
         pre_sh = set(self._files(self.shingles_dir))
-        pre_pf = set(self._files(self.prefs_dir))
+        pre_ix = set(self._files(idx_dir))
 
         t = tokens("text")
         swr = F.size(
@@ -592,15 +742,16 @@ class CurateStore:
             set(self._files(self.shingles_dir)) - pre_sh
         )
         batch_sh = self._read_files(batch_files, _SHINGLE_SCHEMA)
-        # persist the batch's prefix postings (the candidate-join index)
-        _prefix_postings(batch_sh).write.mode("append").parquet(
-            self._append_dir(self.prefs_dir, batch_tag)
+        # persist the batch's candidate-join index rows (prefix postings
+        # or minhash band keys, per candidate_mode)
+        idx_of(batch_sh).write.mode("append").parquet(
+            self._append_dir(idx_dir, batch_tag)
         )
-        batch_pf = self._read_files(
-            sorted(set(self._files(self.prefs_dir)) - pre_pf), _PREF_SCHEMA
+        batch_ix = self._read_files(
+            sorted(set(self._files(idx_dir)) - pre_ix), idx_schema
         )
 
-        edges, cand = self._new_edges(batch_sh, batch_pf)
+        edges, cand = self._new_edges(batch_sh, batch_ix)
         edges.write.mode("append").parquet(
             self._append_dir(self.edges_dir, batch_tag)
         )
@@ -609,14 +760,44 @@ class CurateStore:
         # cached candidate frames
         cand.unpersist(blocking=False)
 
+    def _candidates_minhash(self, batch_cb: "DataFrame") -> "DataFrame":
+        """candidate_mode='minhash' candidate pairs: batch band keys join
+        (store ∪ batch) band keys — a pair is a candidate iff SOME band's
+        2 signature components all agree (recall 0.99972 per true pair at
+        t=0.8, see _N_CBANDS). The standing side is the epoch-cached
+        cbands probe view, post-append so batch-batch pairs are included
+        — the same snapshot discipline as the exact path. Candidate
+        growth now requires full-band agreement instead of one shared
+        prefix hash: on boilerplate corpora (where most docs share the
+        globally-hottest shingles but are NOT near-dups) this is the
+        production valve that keeps per-batch candidates bounded."""
+        a = batch_cb.alias("a")
+        b = self._probe_view("cbands").alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
     def _new_edges(
-        self, batch_sh: "DataFrame", batch_pf: "DataFrame"
+        self, batch_sh: "DataFrame", batch_ix: "DataFrame"
     ) -> "DataFrame":
         """Verified jaccard >= t pairs with at least one side in the
-        batch: batch prefixes join (store ∪ batch) prefixes on the
+        batch. Candidates come from ``batch_ix`` per candidate_mode —
+        exact: batch prefixes join (store ∪ batch) prefixes on the
         shingle hash with the All-Pairs size filter, then an exact
         co-occurrence-count verify — the dedup_ngram_jaccard recipe with
-        the df-order prefix swapped for stable hash order.
+        the df-order prefix swapped for stable hash order; minhash: see
+        _candidates_minhash (the verify below is IDENTICAL either way —
+        precision is always 1, the mode only changes which pairs are
+        examined).
 
         EPOCH-CACHED standing reads (the round-8 weak mark): the (store ∪
         batch) prefix side and the verify-side shingle table come from
@@ -649,7 +830,14 @@ class CurateStore:
         corpus."""
         from minibatch_spark.catalog import stage
 
-        a = batch_pf.alias("a")
+        if self.candidate_mode == "minhash":
+            cand = stage(
+                self._candidates_minhash(batch_ix),
+                f"curate-cand-{self._batch}",
+            )
+            return self._verify_edges(cand), cand
+
+        a = batch_ix.alias("a")
         b = self._probe_view("prefs").alias("b")
         # PPJoin positional filter (Xiao et al., WWW'08 — the standard
         # second All-Pairs filter): any pair with |A∩B| >= alpha =
@@ -662,10 +850,11 @@ class CurateStore:
         # passes) while pruning the deep-prefix collisions the size
         # filter admits — the round-9 RED slope's candidate growth on
         # low-prefix-entropy corpora (SKEW_STREAM_r09: slope 2.82 on the
-        # 31-word synthetic vocab). t = 4/5 makes alpha =
-        # ceil(4(n_a+n_b)/9), so the bound is exact in integer math:
-        # 9·ubound >= 4·(n_a+n_b). Legacy pos-null postings (stores
-        # written before round 10) pass — unpruned, never dropped.
+        # 31-word synthetic vocab). With t = _T_NUM/_T_DEN exactly, alpha
+        # = ceil(_T_NUM·(n_a+n_b)/(_T_NUM+_T_DEN)), so the bound is exact
+        # in integer math: (_T_NUM+_T_DEN)·ubound >= _T_NUM·(n_a+n_b).
+        # Legacy pos-null postings (stores written before round 10) pass
+        # — unpruned, never dropped.
         ubound = F.lit(1) + F.least(
             F.col("a.n") - F.col("a.pos") - 1,
             F.col("b.n") - F.col("b.pos") - 1,
@@ -673,15 +862,18 @@ class CurateStore:
         ppj = (
             F.col("a.pos").isNull()
             | F.col("b.pos").isNull()
-            | (ubound * 9 >= (F.col("a.n") + F.col("b.n")) * 4)
+            | (
+                ubound * (_T_NUM + _T_DEN)
+                >= (F.col("a.n") + F.col("b.n")) * _T_NUM
+            )
         )
         cand = stage(
             a.join(
                 b,
                 (F.col("a.sh1") == F.col("b.sh1"))
                 & (F.col("a.doc_id") != F.col("b.doc_id"))
-                & (F.col("b.n") * 5 >= F.col("a.n") * 4)
-                & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+                & (F.col("b.n") * _T_DEN >= F.col("a.n") * _T_NUM)
+                & (F.col("a.n") * _T_DEN >= F.col("b.n") * _T_NUM)
                 & ppj,
             )
             .select(
@@ -691,6 +883,12 @@ class CurateStore:
             .dropDuplicates(["doc_a", "doc_b"]),
             f"curate-cand-{self._batch}",
         )
+        return self._verify_edges(cand), cand
+
+    def _verify_edges(self, cand: "DataFrame") -> "DataFrame":
+        """The exact co-occurrence verify over a staged candidate frame —
+        shared verbatim by both candidate modes (precision 1 either way;
+        see _new_edges for the giant-row discipline rationale)."""
         both = self._probe_view("shingles")
         sizes = both.select("doc_id", "n")
         sized = (
@@ -719,6 +917,16 @@ class CurateStore:
                 ),
             )
         )
+        if self.candidate_mode == "minhash":
+            # band rows carry no sizes, so the All-Pairs size filter
+            # could not run at candidate time — apply it here, before
+            # the explode: a pair whose sizes alone bound jaccard < t
+            # can never verify (exact-mode candidates already passed
+            # this at the join, so the exact plan stays unchanged)
+            sized = sized.filter(
+                (F.col("n_a") * _T_DEN >= F.col("n_b") * _T_NUM)
+                & (F.col("n_b") * _T_DEN >= F.col("n_a") * _T_NUM)
+            )
         # probe rows = the SMALLER side's shingles only; the larger side
         # participates as 8-byte posting rows, never arrays
         probes = sized.join(
@@ -759,10 +967,9 @@ class CurateStore:
         jac = F.col("i").cast("double") / (
             F.col("n_a") + F.col("n_b") - F.col("i")
         )
-        edges = common.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
+        return common.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
             "doc_a", "doc_b"
         )
-        return edges, cand
 
     # -- the global (report-time) steps -----------------------------------
 
@@ -845,6 +1052,7 @@ def curate_doc_stream(
     compact_every: int = 16,
     compact_min_delta_bytes: int = 256 * 1024,
     compact_ratio: float = 0.25,
+    candidate_mode: str = "exact",
 ) -> "StreamingQuery":
     """Drive the curation store from Structured Streaming: ``docs`` is a
     STREAMING DataFrame with (doc_id, text, source). Exactly-once via
@@ -854,8 +1062,10 @@ def curate_doc_stream(
     safe point, EXCLUDING the current batch's tag so a replayed partial
     attempt stays rollbackable (see dedup_doc_stream). Call
     ``CurateStore(spark, store_dir).report()`` any time for the current
-    mixture table."""
-    store = CurateStore(spark, store_dir)
+    mixture table. ``candidate_mode='minhash'`` switches the near-dup
+    candidate source to banded minhash (the bounded-candidate production
+    path — see CurateStore.__init__); the default stays exact."""
+    store = CurateStore(spark, store_dir, candidate_mode=candidate_mode)
 
     def _handle(batch_df: "DataFrame", batch_id: int) -> None:
         tag = f"batch-{batch_id}"

@@ -893,3 +893,48 @@ def test_text_char_entropy_no_exchange(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_cap_per_domain_window_group_limit_no_udf(spark):
+    """docs_cap_per_domain: the registrable-domain parse is per-row
+    column math (whole-stage codegen, NO python udf) and rk <= N
+    compiles to WindowGroupLimit — at most N rows per domain per map
+    task reach the single hash exchange."""
+    from minibatch_spark.plans import assert_in_plan, explain_str
+
+    df = _q("docs_cap_per_domain")(spark, SF_SMOKE)
+    assert_in_plan(df, "WindowGroupLimit")
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_13gram_broadcasts_bench_no_corpus_shuffle(spark):
+    """text_decontaminate_13gram: the corpus's exploded gram rows meet
+    the benchmark set through a BROADCAST LeftSemi join (the bench
+    side's own tiny distinct may shuffle — it's MBs by contract); the
+    corpus side is never hash-partitioned by gram, so its only
+    exchange is the per-doc count agg."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("text_decontaminate_13gram")(spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the gram-keyed exchanges are all on the BENCH branch (feeding its
+    # distinct + the broadcast): none may sit between the corpus explode
+    # and the semi join — i.e. no SortMergeJoin/ShuffledHashJoin on h
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_decontam_incremental_broadcasts_bench(spark):
+    """text_decontam_incremental: both shard flag passes join the
+    PERSISTED benchmark side as a broadcast semi join — the corpus
+    side never shuffles by gram hash in either branch."""
+    from minibatch_spark.plans import explain_str
+
+    df = _q("text_decontam_incremental")(spark, SF_SMOKE)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

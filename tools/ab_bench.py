@@ -44,6 +44,8 @@ def _run_bench(repo_dir: str, sf_dir: str, reps: int) -> dict:
 
 
 def main(b_ref: str, sf_dir: str, runs: int, reps: int) -> None:
+    import shutil
+
     wt = f"/tmp/abwt-{b_ref[:12]}"
     if not os.path.isdir(wt):
         subprocess.run(
@@ -52,6 +54,13 @@ def main(b_ref: str, sf_dir: str, runs: int, reps: int) -> None:
             check=True,
             capture_output=True,
         )
+    # HARNESS SYMMETRY (round 11): both sides run HEAD's bench.py, so
+    # the measurement structure (warmup shape, first-slot warm, rep
+    # accounting) is identical and only the CODE under test differs —
+    # otherwise a harness improvement on one side masquerades as a
+    # code delta (the r10 first-slot artifact: q1 >= 1.1 on
+    # byte-identical operator code).
+    shutil.copy2(os.path.join(REPO, "bench.py"), os.path.join(wt, "bench.py"))
     a_runs, b_runs = [], []
     for i in range(runs):
         # alternate starting side each round so slow windows are shared

@@ -34,13 +34,9 @@ def main(slope_dir: str, n_batches: int, reps: int) -> None:
         if cand and all(c is not None for c in cand)
         else None
     )
-    spc = round(slope / cand_slope, 2) if slope and cand_slope else None
-    if not slope or slope <= ssa.SLOPE_FLAG_RATIO:
-        verdict = "flat"
-    elif spc is not None and spc <= ssa.SLOPE_FLAG_RATIO:
-        verdict = "candidate_bound"
-    else:
-        verdict = "flagged"
+    # the ONE shared verdict definition (round-10 ADVICE: a drifting
+    # local copy would make 40- and 80-batch artifacts incomparable)
+    verdict, spc = ssa.slope_verdict(slope, cand_slope)
     print(
         json.dumps(
             {

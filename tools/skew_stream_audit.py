@@ -139,11 +139,15 @@ def _maybe_compact(store, i: int, n_shards: int, cwalls: list) -> None:
         cwalls.append(time.monotonic() - t0)
 
 
-def run_curate(spark, sf_dir: str, n_shards: int) -> dict:
+def run_curate(
+    spark, sf_dir: str, n_shards: int, candidate_mode: str = "exact"
+) -> dict:
     from minibatch_spark.catalog import load_table
     from minibatch_spark.streaming.curate_stream import CurateStore
 
-    store = CurateStore(spark, _fresh("curate"))
+    store = CurateStore(
+        spark, _fresh(f"curate-{candidate_mode}"), candidate_mode=candidate_mode
+    )
     # opt in to per-batch candidate counts (off by default so production
     # ingests never pay the extra job): the slope is then readable
     # against CANDIDATE growth — exact All-Pairs verify work is
@@ -204,10 +208,15 @@ def run_ivf(spark, sf_dir: str, n_shards: int) -> dict:
     from minibatch_spark.operators.similarity import as_double
 
     store = IvfIndexStore(spark, _fresh("ivf"))
+    # same opt-in attribution as the other stores (r10 VERDICT #7): the
+    # ingest-side candidate is the batch's assignment-row count (per-row
+    # work is constant in store size — frozen centroids), so the artifact
+    # can separate batch-volume effects from store-tracking overhead
+    store.count_candidates = True
     v = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double("embedding").alias("ve")
     )
-    walls, cwalls = [], []
+    walls, cwalls, cands = [], [], []
     for i in range(n_shards):
         sh = v.filter(F.col("vec_id") % n_shards == i)
         t0 = time.monotonic()
@@ -215,6 +224,7 @@ def run_ivf(spark, sf_dir: str, n_shards: int) -> dict:
             store.train(sh, overwrite=True)  # the streaming batch-0 path
         store.append(sh, tag=f"batch-{i}")
         walls.append(time.monotonic() - t0)
+        cands.append(getattr(store, "last_cand_count", None))
         _maybe_compact(store, i, n_shards, cwalls)
     # probe the built store once (the read side)
     q = (
@@ -224,14 +234,36 @@ def run_ivf(spark, sf_dir: str, n_shards: int) -> dict:
     )
     t0 = time.monotonic()
     _noop(store.topk(q))
-    return {
+    topk_sec = time.monotonic() - t0
+    out = {
         "batch": walls,
-        "extra": {"topk_sec": time.monotonic() - t0},
+        "extra": {"topk_sec": topk_sec},
         "compact": cwalls,
     }
+    if any(c is not None for c in cands):
+        out["cand"] = cands
+    pc = getattr(store, "last_probe_cand_count", None)
+    if pc is not None:
+        # NOT under "extra": extras are SECONDS summed into total_sec
+        out["probe_cand"] = pc
+    return out
 
 
-SCENARIOS = {"curate": run_curate, "dedup": run_dedup, "ivf": run_ivf}
+def run_curate_minhash(spark, sf_dir: str, n_shards: int) -> dict:
+    """The round-11 bounded-candidate curate mode (banded-minhash
+    candidate sourcing, exact verify): its own slope row so the artifact
+    shows the production valve's scale shape next to the exact mode's
+    candidate_bound one. Recall vs exact is pinned separately by
+    tools/curate_recall.py (CURATE_RECALL_r11.json)."""
+    return run_curate(spark, sf_dir, n_shards, candidate_mode="minhash")
+
+
+SCENARIOS = {
+    "curate": run_curate,
+    "curate_minhash": run_curate_minhash,
+    "dedup": run_dedup,
+    "ivf": run_ivf,
+}
 
 
 def _slope_ratio(batch_walls: list) -> "float | None":
@@ -244,6 +276,31 @@ def _slope_ratio(batch_walls: list) -> "float | None":
     first = sum(w[:q]) / q
     last = sum(w[-q:]) / q
     return round(last / first, 2) if first else None
+
+
+def slope_verdict(
+    slope: "float | None", cand_slope: "float | None"
+) -> "tuple[str, float | None]":
+    """Candidate-normalized slope verdict — THE single definition shared
+    by this audit and tools/curate_slope_80b.py (round-10 ADVICE: two
+    drifting copies would make the 40- and 80-batch artifacts silently
+    incomparable). Returns (verdict, slope_per_candidate):
+
+    - ``flat``: wall slope absent or within SLOPE_FLAG_RATIO.
+    - ``candidate_bound``: wall grew, but no faster than the candidate
+      count — an exactness cost of the corpus (the batch scale-audit's
+      output_bound discipline), not an overhead bug.
+    - ``flagged``: wall grew faster than candidates (or with no candidate
+      data to normalize against) — the incremental-scaling bug class.
+    """
+    spc = (
+        round(slope / cand_slope, 2) if slope and cand_slope else None
+    )
+    if not slope or slope <= SLOPE_FLAG_RATIO:
+        return "flat", spc
+    if spc is not None and spc <= SLOPE_FLAG_RATIO:
+        return "candidate_bound", spc
+    return "flagged", spc
 
 
 def _measure(spark, fn, sf_dir: str, n_shards: int, reps: int) -> dict:
@@ -262,8 +319,12 @@ def _measure(spark, fn, sf_dir: str, n_shards: int, reps: int) -> dict:
     ]
     total = sum(batch) + sum(extra.values())
     cand = next((r["cand"] for r in runs if "cand" in r), None)
+    probe_cand = next(
+        (r["probe_cand"] for r in runs if "probe_cand" in r), None
+    )
     return {
         **({"cand_per_batch": cand} if cand is not None else {}),
+        **({"topk_probe_cand": probe_cand} if probe_cand is not None else {}),
         "n_batches": n_shards,
         "total_sec": round(total, 3),
         "mean_batch_sec": round(sum(batch) / len(batch), 3),
@@ -337,15 +398,7 @@ def main(
             if cand_arr and all(c is not None for c in cand_arr)
             else None
         )
-        slope_per_cand = (
-            round(slope / cand_slope, 2) if slope and cand_slope else None
-        )
-        if not slope or slope <= SLOPE_FLAG_RATIO:
-            slope_verdict = "flat"
-        elif slope_per_cand is not None and slope_per_cand <= SLOPE_FLAG_RATIO:
-            slope_verdict = "candidate_bound"
-        else:
-            slope_verdict = "flagged"
+        verdict, slope_per_cand = slope_verdict(slope, cand_slope)
         out["scenarios"][name] = {
             "uniform": uni,
             "skewed": {**skw, "total_ratio_vs_uniform": skew_ratio},
@@ -360,14 +413,14 @@ def main(
                 "slope_lastq_over_firstq": slope,
                 "cand_slope_lastq_over_firstq": cand_slope,
                 "slope_per_candidate": slope_per_cand,
-                "slope_verdict": slope_verdict,
+                "slope_verdict": verdict,
             },
         }
         if skew_ratio and skew_ratio > 2:
             flagged_skew.append(name)
         if shard_batch_ratio and shard_batch_ratio > 2:
             flagged_shards.append(name)
-        if slope_verdict == "flagged":
+        if verdict == "flagged":
             flagged_slope.append(name)
     out["flagged_skew_2x"] = flagged_skew
     out["flagged_shards10_per_batch_2x"] = flagged_shards
