@@ -7,7 +7,12 @@ candidate_bound / flagged) is decidable from the JSON alone — the same
 normalization as skew_stream_audit.py, whose machinery this reuses.
 
 Usage: python tools/curate_slope_80b.py [slope_dir] [n_batches] [reps] \
-           > SKEW_STREAM_80b_r10.json
+           [scenario] > SKEW_STREAM_80b_r10.json
+
+scenario is a SCENARIOS key restricted to the curate family ('curate',
+the default exact mode, or 'curate_minhash' — round 11's bounded
+candidate path), so the 80-batch horizon can be measured for both modes
+with the same machinery.
 """
 import json
 import os
@@ -21,12 +26,17 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 import skew_stream_audit as ssa  # noqa: E402
 
 
-def main(slope_dir: str, n_batches: int, reps: int) -> None:
+def main(
+    slope_dir: str, n_batches: int, reps: int, scenario: str = "curate"
+) -> None:
     from minibatch_spark.session import get_spark
 
+    assert scenario in ("curate", "curate_minhash"), scenario
     shutil.rmtree(ssa.SCRATCH, ignore_errors=True)
-    spark = get_spark(app_name="curate-slope-80b")
-    m = ssa._measure(spark, ssa.run_curate, slope_dir, n_batches, reps)
+    spark = get_spark(app_name=f"{scenario}-slope-80b")
+    m = ssa._measure(
+        spark, ssa.SCENARIOS[scenario], slope_dir, n_batches, reps
+    )
     slope = ssa._slope_ratio(m["per_batch_sec"])
     cand = m.get("cand_per_batch")
     cand_slope = (
@@ -40,7 +50,7 @@ def main(slope_dir: str, n_batches: int, reps: int) -> None:
     print(
         json.dumps(
             {
-                "scenario": "curate",
+                "scenario": scenario,
                 "slope_dir": slope_dir,
                 "reps": reps,
                 "compact_every": ssa.COMPACT_EVERY,
@@ -63,4 +73,5 @@ if __name__ == "__main__":
         sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkdata/sf1",
         int(sys.argv[2]) if len(sys.argv) > 2 else 80,
         int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+        sys.argv[4] if len(sys.argv) > 4 else "curate",
     )
