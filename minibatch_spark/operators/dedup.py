@@ -81,10 +81,23 @@ _SHINGLE_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared staged corpus asset: (doc_id, text_hash, sh array<string>, n)
-    for every document with at least one 3-gram (n > 0 ⟺ >= 3 tokens).
-    ``text_hash`` = md5(text) rides along so exact-dup collapse downstream
-    needs no second pass over the raw text."""
+    """Shared staged corpus asset: (doc_id, text_hash, sh array<string>,
+    n, hs array<bigint>) for every document with at least one 3-gram
+    (n > 0 ⟺ >= 3 tokens). ``text_hash`` = md5(text) rides along so
+    exact-dup collapse downstream needs no second pass over the raw text.
+
+    ``hs`` = xxhash64 per shingle, computed ONCE here (r11 optimization):
+    the All-Pairs consumers (ngram_jaccard, containment_pairs) previously
+    re-derived it per consumer via F.transform over the staged strings —
+    but projection collapse inlines that HOF into the explode's
+    null/size guard AND the Generate input, so the interpreted
+    (CodegenFallback, no CSE) per-element hash ran ~3x per row per
+    consumer, twice more on the verify join's build sides, and the whole
+    prefix subtree twice under the candidate self-join's broadcast.
+    Staging the hashes turns every one of those into a cached-column
+    attribute read (guide §2.3 "project before the exchange" / §2.4).
+    Consumers that never touch ``hs`` (minhash, decontaminate) prune the
+    column at the InMemoryTableScan / parquet scan."""
     import os as _os
 
     from minibatch_spark.catalog import stage_is_live
@@ -100,6 +113,7 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text_hash", shingles_of(F.col("tk")).alias("sh"))
             .withColumn("n", F.size("sh"))
             .filter(F.col("n") > 0)
+            .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
         )
         tag = _os.path.basename(_os.path.normpath(sf_dir))
         df = stage(built, f"shingle-table-{tag}")
@@ -514,16 +528,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive all-pairs SQL over the raw strings and still hash-matches."""
     from pyspark.sql import Window
 
-    # shared staged shingle table + a cheap hashed view on top: every
-    # downstream read re-derives the xxhash64 arrays from the staged
-    # strings (JVM-native, negligible vs a second stage write). Full-width
-    # xxhash64, NOT the 31-bit mod-P shingle_hashes — at ~2k shingles/pair
-    # a 31-bit space collides ~1e-3/pair; and not md5-h64: these hashes
-    # never surface in output, so oracle parity doesn't constrain them.
+    # shared staged shingle table's PRE-STAGED xxhash64 arrays (``hs``,
+    # hashed once at staging — see shingle_table: the former per-consumer
+    # F.transform re-derivation was inlined by projection collapse into
+    # the explode guard + Generate input and ran the interpreted HOF ~3x
+    # per row). Full-width xxhash64, NOT the 31-bit mod-P shingle_hashes —
+    # at ~2k shingles/pair a 31-bit space collides ~1e-3/pair; and not
+    # md5-h64: these hashes never surface in output, so oracle parity
+    # doesn't constrain them.
     sh_arr = shingle_table(spark, sf_dir).select(
-        "doc_id",
-        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        "n",
+        "doc_id", F.col("hs").alias("sh"), "n"
     )
     posting = sh_arr.select("doc_id", "n", F.explode("sh").alias("sh1"))
     ranked = posting.withColumn(
@@ -874,10 +888,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall 15.8 s -> measured back under the 2x audit bar."""
     from pyspark.sql import Window
 
+    # pre-staged xxhash64 arrays (see shingle_table ``hs`` — hashed once
+    # at staging instead of re-derived per consumer through the inlined
+    # interpreted HOF)
     sh_arr = shingle_table(spark, sf_dir).select(
-        "doc_id",
-        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        "n",
+        "doc_id", F.col("hs").alias("sh"), "n"
     )
     posting = sh_arr.select("doc_id", "n", F.explode("sh").alias("sh1"))
     ranked = posting.withColumn(

@@ -1217,8 +1217,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from minibatch_spark.operators.dedup import shingle_table
 
+    # pre-staged xxhash64 arrays (shingle_table ``hs``, hashed once at
+    # staging — the former inline transform re-ran the interpreted HOF
+    # inside the explode guard per row; see dedup.shingle_table r11 note)
     sh = shingle_table(spark, sf_dir).select(
-        "doc_id", F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shh")
+        "doc_id", F.explode(F.col("hs")).alias("shh")
     )
     posted = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shh")))
     per = posted.groupBy("doc_id").agg(
