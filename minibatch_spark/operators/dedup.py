@@ -118,6 +118,10 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = _os.path.basename(_os.path.normpath(sf_dir))
         df = stage(built, f"shingle-table-{tag}")
         _SHINGLE_TABLE_CACHE[key] = df
+    else:
+        from minibatch_spark.catalog import note_staged
+
+        note_staged(df)  # registry plan-memo dependency (stage() notes on build)
     return df
 
 
@@ -743,7 +747,10 @@ def connected_components(
         else:
             from pyspark.storagelevel import StorageLevel
 
+            from minibatch_spark.catalog import note_staged
+
             staged = new.persist(StorageLevel.MEMORY_AND_DISK)
+            note_staged(staged)  # registry plan-memo dependency tracking
         changed = staged.filter("chg").count()  # materializes + converges
         if prev is not None:
             prev.unpersist(False)  # superseded round's blocks

@@ -366,10 +366,11 @@ class MinhashDedupStore:
         re-reads exactly those files."""
         from pyspark import StorageLevel
 
-        from minibatch_spark.catalog import stage_is_live
+        from minibatch_spark.catalog import note_staged, stage_is_live
 
         ent = self._epoch_cache.get(root_name)
         if ent is not None and ent[0] == location and stage_is_live(ent[1]):
+            note_staged(ent[1])  # registry plan-memo dependency tracking
             return ent[1]
         if ent is not None:
             ent[1].unpersist(blocking=False)
@@ -380,6 +381,7 @@ class MinhashDedupStore:
         )
         df = src.persist(StorageLevel.MEMORY_AND_DISK)
         self._epoch_cache[root_name] = (location, df)
+        note_staged(df)
         return df
 
     def _invalidate_cache(self, *root_names: str) -> None:

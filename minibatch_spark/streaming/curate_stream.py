@@ -346,10 +346,11 @@ class CurateStore:
     def _cached_base(self, name: str, cid: str) -> "DataFrame":
         from pyspark import StorageLevel
 
-        from minibatch_spark.catalog import stage_is_live
+        from minibatch_spark.catalog import note_staged, stage_is_live
 
         ent = self._epoch_cache.get(name)
         if ent is not None and ent[0] == cid and stage_is_live(ent[1]):
+            note_staged(ent[1])  # registry plan-memo dependency tracking
             return ent[1]
         if ent is not None:
             ent[1].unpersist(blocking=False)
@@ -361,6 +362,7 @@ class CurateStore:
             StorageLevel.MEMORY_AND_DISK
         )
         self._epoch_cache[name] = (cid, df)
+        note_staged(df)
         return df
 
     def _invalidate_cache(self, *names: str) -> None:
