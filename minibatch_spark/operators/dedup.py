@@ -551,10 +551,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ceil(4n/5) == (4n+4) div 5 — float 0.8*n would mis-round at n%5==0)
     prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
     w = Window.partitionBy("doc_id").orderBy("df", "sh1")
-    prefix = (
+    import os as _os
+
+    _tag = _os.path.basename(_os.path.normpath(sf_dir))
+    # STAGE the prefix index (r11): both candidate-join sides consume it,
+    # and when the planner broadcasts one side there is no exchange for
+    # ReuseExchange to fire on — the whole 2-shuffle/2-window prefix
+    # pipeline ran TWICE per execution (plans/r11/
+    # dedup_ngram_jaccard_before.txt nodes 20-29 vs 34-43). A production
+    # All-Pairs run materializes its prefix index once and fans out;
+    # stage() gives the same economy here (durable tier on clusters).
+    prefix = stage(
         ranked.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "sh1", "n")
+        .select("doc_id", "sh1", "n"),
+        f"ngram-prefix-{_tag}",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # All-Pairs SIZE filter (Bayardo et al. §3): jaccard >= t forces
@@ -908,10 +919,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length n - ceil(0.8n) + 1 in integer math (see ngram_jaccard)
     prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
     w = Window.partitionBy("doc_id").orderBy("df", "sh1")
-    prefix = (
+    import os as _os
+
+    _tag = _os.path.basename(_os.path.normpath(sf_dir))
+    # staged for the same reason as ngram_jaccard's prefix (r11): the
+    # 2-shuffle/2-window pipeline must not re-run per consumer/execution
+    prefix = stage(
         ranked.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "sh1", "n")
+        .select("doc_id", "sh1", "n"),
+        f"contain-prefix-{_tag}",
     )
     x, y = prefix.alias("x"), posting.alias("y")
     cand = (
