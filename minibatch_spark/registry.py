@@ -63,7 +63,15 @@ def query(name: str, oracle: Optional[str] = None):
             if hit is not None and all(stage_is_live(s) for s in hit[1]):
                 for s in hit[1]:
                     note_staged(s)  # propagate to any enclosing construction
-                return hit[0]
+                # Return a FRESH view over the memoized analyzed plan, not
+                # the object itself: a DataFrame that has already executed
+                # holds its materialized AQE stages, and a repeat action on
+                # it SKIPS the map stages (measured: q1 repeat-collect
+                # 0.68 s -> 0.11 s via shuffle reuse). Each caller must
+                # fully recompute from the parquet inputs, so every hit
+                # gets its own QueryExecution — select("*") collapses to
+                # nothing in the optimized plan but re-keys the shuffles.
+                return hit[0].select("*")
             stack = _ctx_stack()
             stack.append([])
             try:

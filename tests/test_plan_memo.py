@@ -28,24 +28,51 @@ def queries():
 
 
 def test_stageless_query_memo_hits_and_survives_clearcache(spark, queries):
+    import time
+
     d1 = queries["q1_pricing_summary"](spark, SF)
+    t0 = time.perf_counter()
     d2 = queries["q1_pricing_summary"](spark, SF)
-    assert d1 is d2, "stageless query should memo-hit on repeat call"
+    hit_s = time.perf_counter() - t0
+    # a hit returns a FRESH view (own QueryExecution — repeat actions must
+    # not reuse materialized AQE stages) over the same analyzed plan
+    assert d2 is not d1, "hit must hand out a fresh execution"
+    assert d2.sameSemantics(d1), "hit must reuse the memoized plan"
+    assert hit_s < 0.5, f"memo hit should skip construction, took {hit_s:.3f}s"
     r1 = sorted(map(tuple, d1.collect()))
     spark.catalog.clearCache()
     d3 = queries["q1_pricing_summary"](spark, SF)
-    assert d1 is d3, "no staged deps -> clearCache must not invalidate"
+    assert d3.sameSemantics(d1), "no staged deps -> clearCache keeps the memo"
     assert sorted(map(tuple, d3.collect())) == r1
 
 
+def test_repeat_invocations_fully_recompute(spark, queries):
+    """Every registry invocation must compute from the parquet inputs:
+    two hits must not share a QueryExecution (whose materialized AQE
+    stages a repeat action would silently reuse)."""
+    a = queries["tumbling_window_events"](spark, SF)
+    b = queries["tumbling_window_events"](spark, SF)
+    assert a is not b
+    a.collect()
+    c = queries["tumbling_window_events"](spark, SF)
+    assert c is not a and c is not b
+    assert c._jdf.queryExecution() is not a._jdf.queryExecution()
+
+
 def test_staged_query_invalidates_after_clearcache_and_matches(spark, queries):
+    from minibatch_spark import registry
+
     g1 = queries["dedup_ngram_jaccard"](spark, SF)
     g2 = queries["dedup_ngram_jaccard"](spark, SF)
-    assert g1 is g2, "staged query should memo-hit while its stages live"
+    assert g2.sameSemantics(g1), "staged query should memo-hit while stages live"
+    key = (spark.sparkContext.applicationId, SF, "dedup_ngram_jaccard")
+    entry_before = registry._PLAN_MEMO[key][0]
     r1 = sorted(map(tuple, g1.collect()))
     spark.catalog.clearCache()
     g3 = queries["dedup_ngram_jaccard"](spark, SF)
-    assert g1 is not g3, "dead staged dep must force a rebuild"
+    assert registry._PLAN_MEMO[key][0] is not entry_before, (
+        "dead staged dep must force a rebuild (fresh memo entry)"
+    )
     assert sorted(map(tuple, g3.collect())) == r1, "rebuild changes nothing"
 
 
