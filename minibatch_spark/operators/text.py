@@ -214,6 +214,15 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 8  # char-gram length
 WINNOW_W = 4  # winnowing window (hashes per window)
 WINNOW_CHUNK = 4096  # fingerprint positions per exploded text chunk
+# Engine-side inner blocking only (the oracle keeps single-level 4096
+# chunks — the fingerprint multiset is invariant to any blocking):
+# ``substr(chunk, j, k)`` walks UTF8 bytes to char offset j on EVERY
+# call, so hashing position j costs O(j) — quadratic per chunk. The
+# minichunk re-slice bounds every per-position walk at ~MINI chars, and
+# the MINI+K+W-2 char overlap makes each minichunk's rolling-min windows
+# complete, so the whole winnow evaluates ARRAY-SIDE per minichunk row —
+# no per-position rows, no window exchange+sort (r11, guide §2.1).
+WINNOW_MINI = 128  # fingerprint positions per inner minichunk
 
 
 @query(
@@ -266,14 +275,30 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of length >= k + w - 1 produces a shared fingerprint — the plagiarism/
     near-dup detection primitive.
 
-    Plan shape (round-2 rewrite + round-5 giant-row hardening): gram
-    positions are EXPLODED TO ROWS so the md5 runs inside whole-stage
-    codegen — the prior array-HOF form (`transform(sequence(...))`)
-    evaluated one interpreted md5 per character position (CodegenFallback,
-    no CSE) and was ~100x slower. The rolling minimum is a frame-spec
-    window partitioned by (doc_id, chunk); because the output is summary
-    stats the fingerprint SET is never materialized —
-    count(distinct)/min/max aggregate the window minima directly.
+    Plan shape (round-11 array-side rewrite; supersedes the round-2
+    exploded-rows + window form): the round-10 sf10 stage bisection
+    attributed the query's cost to the rolling-min WINDOW, not the
+    hashing — partitionBy(doc_id, chunk).orderBy(j) shuffled and sorted
+    one ~30-byte row PER CHARACTER of corpus (~13.7 s of the 18.8 s
+    total at sf10; hash+conv ~7 s). The rolling minimum needs no
+    exchange at all: each chunk is re-sliced into MINICHUNKS carrying
+    K+W-2 chars of overlap, so every gram window is complete inside its
+    minichunk and the whole pipeline evaluates array-side per minichunk
+    row — hash array via one transform (each md5 evaluated exactly ONCE
+    behind an explode(array(..)) Generate barrier; a plain projection
+    would be collapse-inlined into its consumer and re-evaluated per
+    element, the round-2 ~100x regression), rolling min via a zip_with
+    least-chain over W shifted slices (W-1 array passes per ROW, no
+    per-position allocation — a slice+array_min per position measured
+    2.4x SLOWER than the window it replaces), then one groupBy(doc_id)
+    over ~128-element fps arrays: flatten(collect_list) ->
+    size(array_distinct)/array_min/array_max. Exchanges drop 3 -> 2
+    (chunk fanout + final agg), the Sort disappears, and the agg
+    shuffles one small ARRAY row per minichunk instead of deduped
+    (doc_id, fp) pairs. Measured interleaved min-of-N, same process:
+    sf10 24.6 -> 13.8 s, sf1 2.46 -> 1.87 s, sf0.1 1.22 -> 1.11 s;
+    bit-identical output at sf0.01/sf0.1 (exact-compare) and at the
+    chunk seams (test_winnow_chunk_boundary_matches_python_oracle).
 
     GIANT-ROW hardening (found by the round-5 skew audit): position
     explode over the whole text is O(len²) PER DOCUMENT — ``substr(text,
@@ -290,21 +315,16 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unchanged.
 
     Shuffle accounting (the chunk exchange is a net WIN at every scale):
-    shuffling chunk rows costs ~1x corpus bytes, and because it already
-    clusters by (doc_id, chunk) the window adds NO exchange of the
-    exploded gram rows — which are ~30 bytes PER CHARACTER, i.e. the old
-    plan's window exchange moved ~30x corpus bytes. The repartition
-    carries an EXPLICIT partition count because AQE coalesces column-only
-    repartitions by shuffle SIZE, and this shuffle is small in bytes while
-    each row fans out ~4k md5 positions — coalescing serialized the hash
-    stage (see inline comment for the measured matrix). Measured at sf0.1
-    (min-of-3 collect): uniform 1.5 -> 1.4 s, skewed giant-doc corpus
-    7.4 -> 1.6 s (pre-chunking: 15+ min). The later count(distinct)
-    exchanges carry map-side-deduped (doc_id, fp) partials — each exchange
-    smaller than the last (plan-guarded:
-    test_plans.test_winnow_chunked_exchanges_codegen_md5)."""
-    from pyspark.sql import Window
-
+    shuffling ~4 KB chunk rows costs ~1x corpus bytes and spreads a giant
+    document's chunks across tasks BEFORE the hash work happens; every
+    later byte moved is the final agg's ~8 bytes per fingerprint position
+    in array rows. The repartition carries an EXPLICIT partition count
+    because AQE coalesces column-only repartitions by shuffle SIZE, and
+    this shuffle is small in bytes while each row fans out ~4k md5
+    positions — coalescing serialized the hash stage (see inline comment
+    for the measured matrix). Plan-guarded:
+    test_plans.test_winnow_chunked_exchanges_codegen_md5 (2 exchanges,
+    no Sort/Window, hash array evaluated exactly once per minichunk)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     K, W, C = WINNOW_K, WINNOW_W, WINNOW_CHUNK
     # docs with fewer than k+w-1 chars have no full winnowing window and
@@ -339,31 +359,64 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce; the measured uniform/skewed matrix is in its docstring.
         .transform(lambda d: fanout_repartition(d, "doc_id", "c"))
     )
-    npl = (F.length("ctext") - F.lit(K - 1)).alias("npl")
-    grams = chunks.select("doc_id", "c", "ctext", npl).select(
+    M = WINNOW_MINI
+    # nf = fingerprint positions in this chunk; minichunk m owns global
+    # positions c*C + m*M + 1 .. c*C + m*M + nfm (nfm = min(M, nf - m*M)),
+    # and its M+K+W-2 chars contain every gram of every window of those
+    # positions — the fingerprint multiset is exactly the single-level
+    # form's (seam-pinned by test_winnow_chunk_boundary_matches_python_oracle).
+    nf = (F.length("ctext") - F.lit(K + W - 2)).alias("nf")
+    minis = (
+        chunks.select("doc_id", "c", "ctext", nf)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("nf") - 1) / M).cast("int"))
+            ).alias("m"),
+            "ctext",
+        )
+        .select(
+            "doc_id",
+            F.substr(
+                "ctext", (F.col("m") * M + 1).cast("int"), F.lit(M + K + W - 2)
+            ).alias("mtext"),
+        )
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("mtext") - F.lit(K - 1)),
+        lambda jj: F.conv(
+            F.substring(F.md5(F.substr(F.col("mtext"), jj, F.lit(K))), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+    # Generate barrier: explode(array(hs)) evaluates the hash array ONCE
+    # per row; a plain projection would be collapse-inlined into every
+    # consumer below (HOFs are CodegenFallback with no CSE).
+    with_hs = minis.select(
         "doc_id",
-        "c",
-        "npl",
-        F.explode(F.sequence(F.lit(1), F.col("npl"))).alias("j"),
-        "ctext",
+        (F.length("mtext") - F.lit(K + W - 2)).alias("nfm"),
+        F.explode(F.array(hs)).alias("hs"),
     )
-    h = F.conv(
-        F.substring(F.md5(F.substr("ctext", F.col("j"), F.lit(K))), 1, 15), 16, 10
-    ).cast("bigint")
-    w = (
-        Window.partitionBy("doc_id", "c")
-        .orderBy("j")
-        .rowsBetween(Window.currentRow, W - 1)
+    # rolling min over W consecutive hashes, array-side: least-chain of
+    # W shifted slices; hs has exactly nfm + W - 1 elements so slice
+    # (hs, i, nfm) for i = 1..W is always in range.
+    from functools import reduce
+
+    least2 = lambda x, y: F.least(x, y)  # noqa: E731
+    fps = reduce(
+        lambda a, b: F.zip_with(a, b, least2),
+        [F.slice(F.col("hs"), i + 1, F.col("nfm")) for i in range(W)],
     )
-    wins = (
-        grams.select("doc_id", "c", "npl", "j", h.alias("h"))
-        .select("doc_id", "npl", "j", F.min("h").over(w).alias("fp"))
-        .filter(F.col("j") <= F.col("npl") - (W - 1))
-    )
-    return wins.groupBy("doc_id").agg(
-        F.countDistinct("fp").cast("int").alias("n_fp"),
-        F.min("fp").alias("fp_min"),
-        F.max("fp").alias("fp_max"),
+    allfp = F.flatten(F.collect_list("fps"))
+    return (
+        with_hs.select("doc_id", fps.alias("fps"))
+        .groupBy("doc_id")
+        .agg(allfp.alias("allfp"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("allfp")).alias("n_fp"),
+            F.array_min("allfp").alias("fp_min"),
+            F.array_max("allfp").alias("fp_max"),
+        )
     )
 
 

@@ -603,23 +603,30 @@ def test_repeated_spans_partial_agg_take_ordered(spark):
 
 
 def test_winnow_chunked_exchanges_codegen_md5(spark):
-    """The winnowing fingerprint runs md5 inside whole-stage codegen on
-    EXPLODED gram rows — never as an interpreted array-HOF over
-    transform(sequence(...)) (the round-2 108 s/sf0.01 regression). Since
-    the round-5 giant-row hardening the rolling-min window partitions by
-    (doc_id, chunk) so one enormous document parallelizes across tasks and
-    every substr stays a bounded (~4 KB) walk; the per-doc countDistinct
-    then adds its two-phase exchanges — exactly THREE shuffles, each of
-    fixed-width rows and each SMALLER than the last ((doc_id, fp) partials
-    are map-side deduped before the wire), and still no interpreted HOF
-    anywhere."""
+    """Winnow's round-11 array-side shape: the rolling-min WINDOW is gone
+    (the sf10 bisection attributed ~13.7 of 18.8 s to its exchange+sort
+    of one row per corpus character) — each minichunk row evaluates its
+    hash array ONCE behind an explode(array(transform(..))) Generate
+    barrier (a plain projection would be collapse-inlined into every
+    consumer and re-evaluated per element: the round-2 ~100x regression
+    this test used to pin from the other direction), takes the rolling
+    min via a zip_with least-chain over W shifted slices of that
+    ATTRIBUTE, and aggregates fps arrays per doc. Exactly TWO hash
+    exchanges remain — the (doc_id, chunk) fanout and the final agg of
+    small array rows — and no Sort or Window anywhere."""
     from minibatch_spark.plans import explain_str
 
     df = _q("text_winnow_fingerprint")(spark, SF_SMOKE)
     plan = explain_str(df, mode="simple")
-    assert plan.count("Exchange hashpartitioning") == 3
-    # md5 must sit on exploded rows (codegen), not inside a lambda HOF
-    assert "lambdafunction(md5" not in plan and "transform(sequence" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Sort [" not in plan and " Window [" not in plan
+    # the hash transform must be evaluated once per row as a GENERATOR
+    # input (materialized attribute), never inline in a consumer where
+    # collapse would re-evaluate it per array element
+    assert plan.count("transform(sequence") == 1
+    assert "explode(array(transform(sequence" in plan
+    # the rolling min reads the materialized hs attribute via slices
+    assert "zip_with" in plan and "slice(hs" in plan
 
 
 def test_pq_adc_take_ordered_no_shuffle_before_topk(spark):
