@@ -106,11 +106,22 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SHINGLE_TABLE_CACHE.get(key)
     if not stage_is_live(df):  # never built, or clearCache dropped it
         d = spread(load_table(spark, sf_dir, "documents"))
+        # ``sh`` is materialized behind an explode(array(..)) Generate
+        # barrier (r11): without it, predicate pushdown substitutes the
+        # n > 0 filter's alias and re-derives the ENTIRE tokenize+shingle
+        # chain per row inside the pushed Filter (split(trim(text)) ran
+        # 5x in the filter condition alone) — the one corpus pass that is
+        # this table's whole point cost ~2x itself. Filters cannot push
+        # through a generator output, so n > 0 reads the attribute.
         built = (
             d.select(
                 "doc_id", F.md5("text").alias("text_hash"), tokens("text").alias("tk")
             )
-            .select("doc_id", "text_hash", shingles_of(F.col("tk")).alias("sh"))
+            .select(
+                "doc_id",
+                "text_hash",
+                F.explode(F.array(shingles_of(F.col("tk")))).alias("sh"),
+            )
             .withColumn("n", F.size("sh"))
             .filter(F.col("n") > 0)
             .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
@@ -448,20 +459,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(N_MINHASH)
+    # signature-agreement count materialized behind a Generate barrier
+    # (r11): est appears in both the filter and the output, and filter-
+    # into-join-condition collapse evaluated the 16-element zip_with
+    # comparison twice per candidate row. See dedup_ngram_jaccard's
+    # identical fix for the plan evidence.
+    mc = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
+    est = F.col("mc") / F.lit(N_MINHASH)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.explode(F.array(mc)).alias("mc"))
+        .filter(est >= 0.5)
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.5)
     )
 
 
@@ -587,13 +599,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
     sb = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    # intersect size materialized behind a Generate barrier (r11): jac
+    # references it twice and appears in both the filter and the output,
+    # so filter-into-join-condition collapse evaluated array_intersect
+    # FOUR times per candidate row (plans/r11/dedup_ngram_jaccard
+    # _after.txt node "Join condition" + final Project). Behind the
+    # barrier it runs once; the jac arithmetic duplicates only attribute
+    # refs. Filters cannot push through a generator output.
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.explode(F.array(F.size(F.array_intersect("sh_a", "sh_b")))).alias("ic"),
+        )
+    )
+    jac = F.col("ic").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ic"))
+    return scored.filter(jac >= NGRAM_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
