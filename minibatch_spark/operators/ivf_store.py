@@ -474,6 +474,10 @@ class IvfIndexStore:
         brute-force oracle in tests/test_ivf_store.py (the IVF-PQ
         rerank discipline: approximate selection, honest pin)."""
         pruned, probe_map = self._probe(q_df, nprobe)
+        # cos_sim behind an explode(array(..)) Generate barrier (r11):
+        # the radius filter otherwise collapses into the join condition
+        # while the output recomputes it — the full-dim cosine ran twice
+        # per probed (row x query). Behind the barrier it runs once.
         return (
             pruned.select("cell", "vec_id", "ve")
             .join(F.broadcast(probe_map), "cell")
@@ -482,7 +486,9 @@ class IvfIndexStore:
             .select(
                 "query_id",
                 "vec_id",
-                F.round(cosine(F.col("ve"), F.col("qv")), 6).alias("cos_sim"),
+                F.explode(
+                    F.array(F.round(cosine(F.col("ve"), F.col("qv")), 6))
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= F.lit(radius))
         )

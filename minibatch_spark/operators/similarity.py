@@ -381,10 +381,14 @@ def banded_near_dup_pairs(
     va = v_df.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
     vb = v_df.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
     sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    # cos_sim behind an explode(array(..)) Generate barrier (r11):
+    # filter pushdown substitutes the alias and evaluated the full-dim
+    # cosine TWICE per candidate row (join condition + output); behind
+    # the barrier it runs once and the filter reads the attribute.
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .select("vec_a", "vec_b", F.explode(F.array(sim)).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -1676,14 +1680,18 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
     )
+    # cos_sim behind an explode(array(..)) Generate barrier (r11): the
+    # radius filter otherwise collapses into the broadcast join's
+    # condition while the output recomputes it — the full-dim cosine ran
+    # TWICE per (corpus row x query). Behind the barrier it runs once.
     scored = e.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine(as_double("embedding"), as_double("qe")), 6).alias(
-            "cos_sim"
-        ),
+        F.explode(
+            F.array(F.round(cosine(as_double("embedding"), as_double("qe")), 6))
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= RANGE_COS)
 
@@ -1799,10 +1807,16 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("eval_id"), F.col("v").alias("evv")
     )
     cos_sim = F.round(cosine(F.col("tv"), F.col("evv")), 6)
+    # Generate barrier: without it the threshold filter collapses into
+    # the join condition and the full-dim cosine runs twice per
+    # candidate row (see banded_near_dup_pairs).
     verified = (
         cand.join(tv, "train_id")
         .join(F.broadcast(ev), "eval_id")
-        .select(F.col("train_id").alias("vec_id"), cos_sim.alias("cos_sim"))
+        .select(
+            F.col("train_id").alias("vec_id"),
+            F.explode(F.array(cos_sim)).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
     return verified.groupBy("vec_id").agg(
