@@ -990,14 +990,17 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_source_overlap",
     oracle="""
     WITH sh AS (
-      SELECT d.source,
+      -- tokens materialized ONCE in a subquery column: DuckDB re-evaluates
+      -- a non-column expression inside a list_transform lambda PER ELEMENT
+      -- (the round-5 _shingle_select lesson) — the inline form cost
+      -- O(len^2) per document, ~7 minutes on the skew-parity giant doc
+      SELECT source,
              unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(regexp_split_to_array(trim(d.text), '\\s+')) - 2, 0)),
-               i -> regexp_split_to_array(trim(d.text), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(d.text), '\\s+')[i+1] || ' ' ||
-                    regexp_split_to_array(trim(d.text), '\\s+')[i+2]))) AS shingle
-      FROM documents d
-      WHERE len(regexp_split_to_array(trim(d.text), '\\s+')) >= 3
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents) __tk
+      WHERE len(t) >= 3
     ),
     src_sh AS (SELECT DISTINCT source, shingle FROM sh),
     keep AS (
@@ -1225,13 +1228,15 @@ BOILERPLATE_DF = 3  # shingle document-frequency above which a 3-gram is
     "text_boilerplate_ngrams",
     oracle=f"""
     WITH sh AS (
+      -- tokenize-once subquery (see docs_source_overlap / _shingle_select):
+      -- the inline form re-ran regexp_split_to_array per lambda element,
+      -- O(len^2) per document on the skew-parity giant doc
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
-               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
-      FROM documents
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents) __tk
     ), df AS (
       SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
     ), per AS (
