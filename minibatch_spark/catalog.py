@@ -96,6 +96,61 @@ SCRATCH_DIR = os.environ.get(
 )
 
 
+# Size-adaptive partition counts (r12, guide §2.2/§2.5): a repartition
+# whose count is a flat defaultParallelism/shuffle.partitions is a
+# constant tuned for ONE deployment — on a 32-core local run it slices a
+# 600 KB input into 32 ~20 KB tasks whose scheduling+exchange overhead
+# exceeds their compute (measured: text_top_bigrams 0.585 s at 32
+# partitions vs 0.270 s at 8 on the same sf0.1 input; the driver's
+# 8-vs-32-core scaling curve read 0.36 for the same reason), and on a
+# 1000-core cluster it UNDER-parallelizes. Deriving the count from the
+# input's on-disk bytes gives both deployments the same rule: one task
+# per TASK_TARGET_BYTES of input, floored at 1, capped at the
+# deployment's own parallelism. The constant is bytes-of-input-per-task
+# (a work-granularity target, like spark.sql.files.maxPartitionBytes),
+# not a core count — env-tunable for clusters whose per-task overhead
+# differs.
+TASK_TARGET_BYTES = int(
+    os.environ.get("MINIBATCH_SPARK_TASK_TARGET_BYTES", str(64 * 1024))
+)
+
+
+def input_size_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files feeding ``df``'s plan, or None
+    when unknowable (no file scan, non-local scheme). Driver-side only:
+    one plan walk + os.stat per file; callers memoize."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            f = f[len("file:") :]
+        elif "://" in f:
+            return None  # remote FS: size not knowable via os.stat
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return None
+    return total
+
+
+def adaptive_partitions(
+    df: DataFrame, cap: int, bytes_per_task: int | None = None
+) -> int:
+    """min(cap, ceil(input_bytes / bytes_per_task)), floored at 1; cap
+    when the input size is unknowable (stay at the deployment's own
+    parallelism rather than guess low)."""
+    size = input_size_bytes(df)
+    if size is None:
+        return cap
+    per = bytes_per_task or TASK_TARGET_BYTES
+    return max(1, min(cap, -(-size // per)))
+
+
 # spread() probe memo (r11): keyed by input-object identity, value holds a
 # strong reference to the INPUT as well, which both pins the id against
 # recycling (the storage.py round-10 lesson) and lets a hit be verified
@@ -103,7 +158,7 @@ SCRATCH_DIR = os.environ.get(
 # wraps a memoized load_table frame, so the dict stays bounded by
 # |tables| x |sf_dirs|; the size cap is a belt-and-braces guard for any
 # future caller handing in fresh objects per call.
-_SPREAD_MEMO: dict[int, tuple[DataFrame, int, DataFrame]] = {}
+_SPREAD_MEMO: dict[tuple[int, int | None], tuple[DataFrame, int, DataFrame]] = {}
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -116,18 +171,28 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     so the exchange it inserts exists exactly when the data is too small
     for it to matter, and never in the at-scale plan.
 
+    The target count is SIZE-ADAPTIVE (r12): one partition per
+    TASK_TARGET_BYTES of input, capped at defaultParallelism — a tiny
+    input no longer fans into core-count tasks whose overhead dwarfs
+    their work (see TASK_TARGET_BYTES). ``min_partitions`` still forces
+    an explicit count for callers that know better.
+
     The ``df.rdd.getNumPartitions()`` probe forces physical planning of
     the scan (~15-30 ms of driver work per call); with load_table frames
-    memoized the probe answer is a pure function of the input object, so
-    it is memoized the same way (r11)."""
-    p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    hit = _SPREAD_MEMO.get(id(df))
-    if hit is not None and hit[0] is df and hit[1] == p:
+    memoized the probe answer — and the input-size walk — is a pure
+    function of the input object, so both are memoized the same way
+    (r11)."""
+    key = (id(df), min_partitions)
+    hit = _SPREAD_MEMO.get(key)
+    if hit is not None and hit[0] is df:
         return hit[2]
+    p = min_partitions or adaptive_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
     out = df.repartition(p) if df.rdd.getNumPartitions() < p else df
     if len(_SPREAD_MEMO) > 256:  # future-caller leak guard
         _SPREAD_MEMO.clear()
-    _SPREAD_MEMO[id(df)] = (df, p, out)
+    _SPREAD_MEMO[key] = (df, p, out)
     return out
 
 
@@ -158,8 +223,14 @@ def fanout_repartition(df: DataFrame, *cols: str, partitions: int | None = None)
     1.5 s / 7.4 s — the skewed column shows the giant row serialized on
     one task. The explicit count pins a REPARTITION_BY_NUM_AND_COL
     exchange AQE will not coalesce, spreading the fan-out across the
-    cluster BEFORE the heavy work happens."""
-    n = partitions or shuffle_partition_count(df.sparkSession)
+    cluster BEFORE the heavy work happens.
+
+    The explicit count is SIZE-ADAPTIVE (r12): one partition per
+    TASK_TARGET_BYTES of input bytes, capped at the session's shuffle
+    partition count — the fan-out of a small input stays a few
+    right-sized tasks instead of core-count slivers, and a big input
+    still fans to the deployment's full width (see TASK_TARGET_BYTES)."""
+    n = partitions or adaptive_partitions(df, shuffle_partition_count(df.sparkSession))
     return df.repartition(n, *cols)
 
 
