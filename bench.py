@@ -81,16 +81,19 @@ def main() -> None:
         queries[w](spark, warmup_sf).collect()
     spark.catalog.clearCache()
 
-    # first-slot warm (r10 VERDICT What's-wrong #1): the FIRST query
-    # executed at the measured sf absorbs residual JIT/codegen asymmetry
-    # the sf0.01 warmup doesn't cover — q1_pricing_summary (always slot
-    # 1) read >= 1.1 on BYTE-IDENTICAL code at 2 of 3 interleaved A/B
-    # scale points. One uncounted noop pass at the measured sf takes
-    # that penalty out of the measurement instead of letting it attach
-    # to whichever query happens to run first.
-    queries[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # measured-sf warm (r12, extends the r10 first-slot warm): one
+    # uncounted noop pass over EVERY headline plan shape at the measured
+    # sf. The sf0.01 pass above no longer leaves the JVM fully JIT-warm:
+    # with size-adaptive partitioning the warmup plans run ~1-partition
+    # at sf0.01, so far fewer task/codegen paths execute before timing —
+    # measured on byte-identical per-query plans (warmth A/B, both sides
+    # r12 HEAD, only the partition knob flipped): q1 read 1.32, q3 1.20,
+    # agg_distinct 1.22 purely from JVM warmth state. Warming every
+    # headline shape at the measured sf makes the timed region measure
+    # steady-state operator cost, not residual JIT state. clearCache()
+    # after: nothing computed here is reused by the timed reps.
+    for w in HEADLINE:
+        queries[w](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
